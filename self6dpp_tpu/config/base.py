@@ -1,0 +1,339 @@
+"""Typed configuration system.
+
+Replaces the reference's mmcv python-file configs with `_base_` inheritance
+and string-eval'd snippets (configs/_base_/*.py, core/*/main_*.py:57-59 —
+hazards noted in SURVEY.md §5) by plain frozen dataclasses:
+
+  * every knob is a typed field with a default — no silent typos;
+  * config files are python modules exporting `get_config() -> Config`
+    (imported via importlib, never eval());
+  * `replace()` (dataclasses.replace) gives functional overrides;
+  * CLI `--opts a.b.c=value` deep-merge is supported with type coercion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+from dataclasses import dataclass, field
+from typing import Any
+
+
+# ---------------------------------------------------------------------------
+# model configs
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    name: str = "resnest50d"        # resnet{18,34,50,101}[d] | resnest50d | flownets | cspdarknet
+    freeze: bool = False
+    pretrained: str = ""            # path to a checkpoint to warm-start from
+    input_channels: int = 3
+    out_indices: tuple[int, ...] = (4,)   # stage indices to return (4 = stride 32)
+
+
+@dataclass(frozen=True)
+class GeoHeadConfig:
+    name: str = "TopDownMaskXyzRegionHead"
+    freeze: bool = False
+    up_types: tuple[str, ...] = ("deconv", "bilinear", "bilinear")
+    deconv_kernel_size: int = 3
+    num_conv_per_block: int = 2
+    feat_dim: int = 256
+    feat_kernel_size: int = 3
+    norm: str = "GN"
+    num_gn_groups: int = 32
+    act: str = "gelu"
+    out_kernel_size: int = 1
+    out_layer_shared: bool = True
+    # class-aware outputs (reference GDRN.py:106-124)
+    xyz_class_aware: bool = False
+    mask_class_aware: bool = False
+    region_class_aware: bool = False
+    num_regions: int = 64
+    xyz_bin: int = 64               # only used when xyz_loss_type == CE_coor
+    # number of mask channels: 1 = visib only; 2 = visib+full (double-mask)
+    num_masks: int = 1
+    with_vf: bool = False           # double vector-field heads (self6dpp variant)
+    with_norm: bool = False         # surface-normal head (GDRN_MaskNormVF)
+
+
+@dataclass(frozen=True)
+class PnPNetConfig:
+    name: str = "ConvPnPNet"
+    freeze: bool = False
+    featdim: int = 128
+    rot_type: str = "allo_rot6d"    # allo_rot6d | ego_rot6d | allo_quat | ego_quat
+    trans_type: str = "centroid_z"  # centroid_z | centroid_z_abs | trans
+    z_type: str = "REL"             # REL | ABS
+    num_stride2_layers: int = 3
+    num_extra_layers: int = 0
+    norm: str = "GN"
+    num_gn_groups: int = 32
+    act: str = "leakyrelu"
+    drop_prob: float = 0.0
+    flat_op: str = "flatten"        # flatten | avg | avg-max | avg-max-min
+    denormalize_by_extent: bool = True
+    with_2d_coord: bool = True
+    coord_2d_type: str = "abs"      # abs | rel
+    region_attention: bool = True
+    mask_attention: str = "none"    # none | mul | concat
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    # xyz
+    xyz_loss_type: str = "L1"       # L1 | CE_coor
+    xyz_loss_mask_gt: str = "visib" # trunc | visib | obj
+    xyz_lw: float = 1.0
+    # mask
+    mask_loss_type: str = "BCE"     # L1 | BCE | RW_BCE | dice | CE
+    mask_loss_gt: str = "trunc"
+    mask_lw: float = 1.0
+    full_mask_lw: float = 1.0       # for double-mask variants
+    # region
+    region_loss_type: str = "CE"
+    region_loss_mask_gt: str = "visib"
+    region_lw: float = 1.0
+    # point matching
+    pm_lw: float = 1.0
+    pm_loss_type: str = "L1"
+    pm_smooth_l1_beta: float = 1.0
+    pm_norm_by_extent: bool = False
+    pm_loss_sym: bool = True
+    pm_disentangle_t: bool = False
+    pm_disentangle_z: bool = False
+    pm_t_use_points: bool = True
+    pm_r_only: bool = True
+    # others
+    rot_lw: float = 0.0
+    rot_loss_type: str = "angular"
+    centroid_lw: float = 1.0
+    centroid_loss_type: str = "L1"
+    z_lw: float = 1.0
+    z_loss_type: str = "L1"
+    trans_lw: float = 0.0
+    trans_loss_type: str = "L1"
+    trans_loss_disentangle: bool = True
+    bind_lw: float = 0.0
+    bind_loss_type: str = "L1"
+    # vf / normal losses (self6dpp variants)
+    vf_lw: float = 0.0
+    norm_lw: float = 0.0
+
+
+@dataclass(frozen=True)
+class PoseNetConfig:
+    name: str = "GDRN"              # GDRN | GDRN_double_mask | GDRN_double_mask_double_vf | GDRN_MaskNormVF
+    num_classes: int = 13
+    input_res: int = 256
+    output_res: int = 64
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    geo_head: GeoHeadConfig = field(default_factory=GeoHeadConfig)
+    pnp_net: PnPNetConfig = field(default_factory=PnPNetConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    use_mtl: bool = False           # uncertainty multi-task weighting
+
+
+# ---------------------------------------------------------------------------
+# solver / schedule
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SolverConfig:
+    optimizer: str = "ranger"       # ranger | adam | adamw | sgd | madgrad | adabelief
+    base_lr: float = 1e-4
+    weight_decay: float = 0.0
+    momentum: float = 0.9
+    # flat-and-anneal schedule (lib/torch_utils/solver/lr_scheduler.py:148-266)
+    lr_sched: str = "flat_and_anneal"
+    anneal_method: str = "cosine"   # cosine | step | poly | linear
+    anneal_point: float = 0.72
+    warmup_iters: int = 1000
+    warmup_factor: float = 0.001
+    warmup_method: str = "linear"
+    poly_power: float = 1.0
+    step_gamma: float = 0.1
+    steps: tuple[float, ...] = (0.5, 0.75)   # rel positions for step anneal
+    grad_clip_norm: float = 35.0    # 0 disables
+    total_iters: int = 100_000
+    ims_per_batch: int = 24
+    reference_bs: int = 24          # grad accumulation target batch size
+    ema_decay: float = 0.999        # EMA of student weights
+    ema_warmup_iters: int = 2000
+
+
+# ---------------------------------------------------------------------------
+# data
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DZIConfig:
+    """Dynamic zoom-in bbox augmentation (core/base_data_loader.py:179-217)."""
+    type: str = "uniform"           # uniform | truncnorm | none | roi10d
+    pad_scale: float = 1.5
+    scale_ratio: float = 0.25
+    shift_ratio: float = 0.25
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset_root: str = "datasets"
+    train_datasets: tuple[str, ...] = ("lm_pbr_13_train",)
+    train2_datasets: tuple[str, ...] = ()      # syn-sup set for stage II
+    train2_ratio: float = 0.0
+    test_datasets: tuple[str, ...] = ("lm_13_test",)
+    det_files_train: tuple[str, ...] = ()      # pseudo-pose detection jsons
+    det_files_test: tuple[str, ...] = ()
+    det_topk_per_obj: int = 1
+    det_thresh: float = 0.0
+    input_res: int = 256
+    output_res: int = 64
+    dzi: DZIConfig = field(default_factory=DZIConfig)
+    color_aug_prob: float = 0.0
+    bg_replace_prob: float = 0.5    # for syn data; bg_type dir
+    bg_dir: str = ""
+    num_workers: int = 4
+    filter_visib_thr: float = 0.0
+    truncate_fg: bool = False
+    model_points: int = 512         # FPS-sampled PM-loss points (fixed shape)
+    max_sym_rots: int = 32          # padded symmetry rotation set
+
+
+# ---------------------------------------------------------------------------
+# test / eval
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TestConfig:
+    eval_period: int = 0
+    test_bbox_type: str = "est"     # est | gt
+    error_types: tuple[str, ...] = ("ad", "rete", "re", "te", "proj")
+    use_pnp: bool = False
+    pnp_type: str = "ransac_pnp"
+    save_results_only: bool = False
+
+
+# ---------------------------------------------------------------------------
+# renderer
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RendererConfig:
+    width: int = 640
+    height: int = 480
+    znear: float = 0.01
+    zfar: float = 10.0
+    # soft rasterization constants (DIB-R semantics,
+    # lib/dr_utils/dib_renderer_x/rasterizer/rasterizer.py: knum=30,
+    # delta=7000, multiplier=1000)
+    sigma: float = 1.0 / 7000.0
+    gamma: float = 1.0 / 7000.0
+    max_faces: int = 8192           # static per-object face budget
+    tile_px: int = 16
+
+
+# ---------------------------------------------------------------------------
+# top-level
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SelfSupConfig:
+    """Stage-II self-supervised loss weights (core/self6dpp engine)."""
+    enabled: bool = False
+    mask_lw: float = 1.0
+    mask_loss_type: str = "RW_BCE"  # RW_BCE | dice | BCE
+    mask_edge_reweight: bool = True
+    perceptual_lw: float = 0.15
+    ms_ssim_lw: float = 1.0
+    lab_lw: float = 0.0
+    lab_no_l: bool = True
+    depth_chamfer_lw: float = 0.0
+    chamfer_dist_thr: float = 0.05
+    chamfer_center_lw: float = 0.0
+    vf_lw: float = 0.0
+    norm_lw: float = 0.0
+    pseudo_pm_lw: float = 10.0
+    pseudo_trans_lw: float = 0.0
+    ema_teacher: bool = True
+    ema_decay: float = 0.999
+    teacher_update_freq: int = 1    # epochs between EMA teacher refreshes
+    geo_mode_ratio: float = 0.0     # fraction of iters in 'geo' output mode
+    refine_with_deepim: bool = False
+
+
+@dataclass(frozen=True)
+class DistConfig:
+    # mesh axes; data-parallel is the reference-parity axis (SURVEY §2.7),
+    # fsdp sharding of params is a new TPU capability
+    data_axis: str = "data"
+    fsdp_axis: str = "fsdp"
+    mesh_shape: tuple[int, ...] = (-1, 1)    # (data, fsdp); -1 = all devices
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class Config:
+    exp_name: str = "default"
+    output_dir: str = "output"
+    seed: int = 0
+    model: PoseNetConfig = field(default_factory=PoseNetConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    renderer: RendererConfig = field(default_factory=RendererConfig)
+    self_sup: SelfSupConfig = field(default_factory=SelfSupConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
+    ckpt_period: int = 5000
+    ckpt_max_to_keep: int = 2
+    log_period: int = 100
+
+
+# ---------------------------------------------------------------------------
+# loading + overrides
+# ---------------------------------------------------------------------------
+
+def load_config(path: str) -> Config:
+    """Import a python config module exporting get_config() -> Config."""
+    spec = importlib.util.spec_from_file_location("_user_config", path)
+    assert spec is not None and spec.loader is not None, f"cannot load {path}"
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg = mod.get_config()
+    assert isinstance(cfg, Config), f"{path}: get_config() must return Config"
+    return cfg
+
+
+def _coerce(val: str, target_type: Any):
+    if target_type is bool:
+        return val.lower() in ("1", "true", "yes")
+    if target_type is int:
+        return int(val)
+    if target_type is float:
+        return float(val)
+    if target_type is str:
+        return val
+    # tuples: comma-separated
+    return tuple(v.strip() for v in val.split(","))
+
+
+def apply_overrides(cfg: Config, opts: list[str]) -> Config:
+    """Apply 'a.b.c=value' overrides (the reference's --opts deep-merge,
+    core/gdrn_modeling/main_gdrn.py:57-59, without eval())."""
+    for opt in opts:
+        key, _, raw = opt.partition("=")
+        parts = key.split(".")
+        cfg = _replace_path(cfg, parts, raw)
+    return cfg
+
+
+def _replace_path(obj, parts: list[str], raw: str):
+    name = parts[0]
+    fields = {f.name: f for f in dataclasses.fields(obj)}
+    assert name in fields, f"unknown config key: {name} on {type(obj).__name__}"
+    if len(parts) == 1:
+        cur = getattr(obj, name)
+        return dataclasses.replace(obj, **{name: _coerce(raw, type(cur))})
+    child = _replace_path(getattr(obj, name), parts[1:], raw)
+    return dataclasses.replace(obj, **{name: child})

@@ -1,0 +1,140 @@
+"""The full GDR-Net training loss (pure function over model outputs + batch).
+
+Parity target: core/gdrn_modeling/models/GDRN.py:274-498 (gdrn_loss): xyz
+(L1 masked / CE binned), mask, region CE, PM, rot, centroid, z, trans, bind,
+with optional MTL uncertainty weighting. MTL log-vars live in the param tree
+under 'mtl' and are passed in explicitly (pure function).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config.base import LossConfig, PnPNetConfig
+from .common import pointwise_loss, sigmoid_bce, softmax_ce
+from .mask_losses import mask_loss
+from .pm_loss import pm_loss
+
+Array = jax.Array
+
+
+def gdrn_loss(
+    cfg: LossConfig,
+    pnp_cfg: PnPNetConfig,
+    out: dict[str, Array],
+    batch: dict[str, Array],
+    num_regions: int = 64,
+    xyz_bin: int = 1,
+    mtl_log_vars: dict[str, Array] | None = None,
+    geo_frozen: bool = False,
+) -> dict[str, Array]:
+    loss: dict[str, Array] = {}
+    gt_masks = {
+        "trunc": batch["gt_mask_trunc"],
+        "visib": batch["gt_mask_visib"],
+        "obj": batch["gt_mask_obj"],
+    }
+
+    # ---- xyz ------------------------------------------------------------
+    if not geo_frozen:
+        gm = gt_masks[cfg.xyz_loss_mask_gt]            # (B, H, W)
+        denom = jnp.maximum(gm.sum(), 1.0)
+        if cfg.xyz_loss_type == "L1":
+            coor = out["coor"]                          # (B,H,W,3)
+            diff = jnp.abs(coor - batch["gt_xyz"]) * gm[..., None]
+            loss["loss_coor_x"] = diff[..., 0].sum() / denom * cfg.xyz_lw
+            loss["loss_coor_y"] = diff[..., 1].sum() / denom * cfg.xyz_lw
+            loss["loss_coor_z"] = diff[..., 2].sum() / denom * cfg.xyz_lw
+        elif cfg.xyz_loss_type == "CE_coor":
+            logits = out["coor_logits"]                 # (B,H,W,3,bin+1)
+            gt_bin = batch["gt_xyz_bin"].astype(jnp.int32)  # (B,H,W,3)
+            gmi = gm.astype(jnp.int32)
+            for i, ax in enumerate("xyz"):
+                ce = softmax_ce(logits[..., i, :] * gm[..., None],
+                                gt_bin[..., i] * gmi, axis=-1)
+                loss[f"loss_coor_{ax}"] = ce.sum() / denom * cfg.xyz_lw
+        else:
+            raise ValueError(cfg.xyz_loss_type)
+
+    # ---- mask -----------------------------------------------------------
+    if not geo_frozen:
+        gt_m = gt_masks[cfg.mask_loss_gt]
+        loss["loss_mask"] = mask_loss(out["mask_logits"][..., :1], gt_m,
+                                      cfg.mask_loss_type) * cfg.mask_lw
+        if out["mask_logits"].shape[-1] >= 2 and "gt_mask_full" in batch:
+            # double-mask variant: channel 1 = full/amodal mask
+            loss["loss_mask_full"] = mask_loss(
+                out["mask_logits"][..., 1:2], batch["gt_mask_full"],
+                cfg.mask_loss_type) * cfg.full_mask_lw
+
+    # ---- region ---------------------------------------------------------
+    if not geo_frozen:
+        gm = gt_masks[cfg.region_loss_mask_gt]
+        denom = jnp.maximum(gm.sum(), 1.0)
+        ce = softmax_ce(out["region_logits"] * gm[..., None],
+                        batch["gt_region"].astype(jnp.int32) * gm.astype(jnp.int32),
+                        axis=-1)
+        loss["loss_region"] = ce.sum() / denom * cfg.region_lw
+
+    # ---- PM -------------------------------------------------------------
+    if cfg.pm_lw > 0:
+        loss.update(pm_loss(
+            out["rot"], batch["gt_rot"], batch["gt_points"],
+            pred_transes=out["trans"], gt_transes=batch["gt_trans"],
+            extents=batch["roi_extent"],
+            sym_rots=batch.get("sym_rots"), sym_valid=batch.get("sym_valid"),
+            loss_type=cfg.pm_loss_type.lower(), beta=cfg.pm_smooth_l1_beta,
+            loss_weight=cfg.pm_lw, norm_by_extent=cfg.pm_norm_by_extent,
+            symmetric=cfg.pm_loss_sym, disentangle_t=cfg.pm_disentangle_t,
+            disentangle_z=cfg.pm_disentangle_z,
+            t_loss_use_points=cfg.pm_t_use_points, r_only=cfg.pm_r_only,
+        ))
+
+    # ---- rot ------------------------------------------------------------
+    if cfg.rot_lw > 0:
+        if cfg.rot_loss_type == "angular":
+            m = out["rot"] @ jnp.swapaxes(batch["gt_rot"], -1, -2)
+            tr = jnp.trace(m, axis1=-2, axis2=-1)
+            loss["loss_rot"] = ((1.0 - (tr - 1.0) / 2.0) / 2.0).mean() * cfg.rot_lw
+        else:
+            loss["loss_rot"] = ((out["rot"] - batch["gt_rot"]) ** 2).mean() * cfg.rot_lw
+
+    # ---- centroid / z ---------------------------------------------------
+    if cfg.centroid_lw > 0 and pnp_cfg.trans_type == "centroid_z":
+        loss["loss_centroid"] = pointwise_loss(
+            cfg.centroid_loss_type, out["pred_t_net"][:, :2],
+            batch["gt_trans_ratio"][:, :2]).mean() * cfg.centroid_lw
+    if cfg.z_lw > 0:
+        gt_z = batch["gt_trans_ratio"][:, 2] if pnp_cfg.z_type == "REL" else batch["gt_trans"][:, 2]
+        loss["loss_z"] = pointwise_loss(
+            cfg.z_loss_type, out["pred_t_net"][:, 2], gt_z).mean() * cfg.z_lw
+
+    # ---- trans ----------------------------------------------------------
+    if cfg.trans_lw > 0:
+        if cfg.trans_loss_disentangle:
+            loss["loss_trans_xy"] = pointwise_loss(
+                cfg.trans_loss_type, out["trans"][:, :2],
+                batch["gt_trans"][:, :2]).mean() * cfg.trans_lw
+            loss["loss_trans_z"] = pointwise_loss(
+                cfg.trans_loss_type, out["trans"][:, 2],
+                batch["gt_trans"][:, 2]).mean() * cfg.trans_lw
+        else:
+            loss["loss_trans_LPnP"] = pointwise_loss(
+                cfg.trans_loss_type, out["trans"], batch["gt_trans"]).mean() * cfg.trans_lw
+
+    # ---- bind (R^T t) ---------------------------------------------------
+    if cfg.bind_lw > 0:
+        pred_bind = jnp.einsum("bji,bj->bi", out["rot"], out["trans"])
+        gt_bind = jnp.einsum("bji,bj->bi", batch["gt_rot"], batch["gt_trans"])
+        loss["loss_bind"] = pointwise_loss(
+            cfg.bind_loss_type, pred_bind, gt_bind).mean() * cfg.bind_lw
+
+    # ---- MTL uncertainty weighting (GDRN.py:493-497) --------------------
+    if mtl_log_vars is not None:
+        for k in list(loss.keys()):
+            name = k.replace("loss_", "")
+            if name in mtl_log_vars:
+                lv = mtl_log_vars[name][0]
+                loss[k] = loss[k] * jnp.exp(-lv) + jnp.log1p(jnp.exp(lv))
+    return loss

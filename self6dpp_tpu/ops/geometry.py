@@ -109,9 +109,11 @@ def rot6d_to_mat(d6: Array) -> Array:
     two *columns* of the target matrix).
     """
     x_raw, y_raw = d6[..., 0:3], d6[..., 3:6]
-    x = x_raw / (jnp.linalg.norm(x_raw, axis=-1, keepdims=True) + 1e-8)
+    # clamped-norm division (torch F.normalize semantics): exact unit vectors
+    # even for tiny inputs (freshly-initialized heads emit ~1e-5 magnitudes)
+    x = x_raw / jnp.maximum(jnp.linalg.norm(x_raw, axis=-1, keepdims=True), 1e-12)
     z = jnp.cross(x, y_raw)
-    z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
     y = jnp.cross(z, x)
     return jnp.stack([x, y, z], axis=-1)  # columns
 

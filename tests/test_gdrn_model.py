@@ -1,0 +1,180 @@
+"""Smoke + correctness tests for the Flax GDRN model and its loss."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from self6dpp_tpu.config.base import (
+    BackboneConfig, Config, GeoHeadConfig, LossConfig, PnPNetConfig, PoseNetConfig,
+)
+from self6dpp_tpu.data.synthetic import make_gdrn_batch
+from self6dpp_tpu.losses.gdrn_loss import gdrn_loss
+from self6dpp_tpu.models.gdrn import GDRN
+
+
+def tiny_cfg(**model_kw) -> Config:
+    model = PoseNetConfig(
+        num_classes=3,
+        input_res=64,
+        output_res=16,
+        backbone=BackboneConfig(name="resnet18"),
+        geo_head=GeoHeadConfig(feat_dim=32, num_gn_groups=8, num_regions=8,
+                               xyz_bin=1),
+        pnp_net=PnPNetConfig(featdim=32, num_gn_groups=8),
+        loss=LossConfig(pm_loss_sym=True, pm_r_only=False, pm_disentangle_z=True),
+        **model_kw,
+    )
+    return Config(model=model)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = GDRN(cfg=cfg.model)
+    batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(cfg, 2, input_res=64,
+                                                           output_res=16,
+                                                           n_points=64).items()}
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["roi_img"], batch["roi_cls"],
+        batch["roi_cam"], batch["roi_center"], batch["roi_wh"],
+        batch["roi_extent"], batch["resize_ratio"], batch["roi_coord_2d"],
+        train=False,
+    )
+    return cfg, model, batch, variables
+
+
+def test_forward_shapes(setup):
+    cfg, model, batch, variables = setup
+    out = model.apply(
+        variables, batch["roi_img"], batch["roi_cls"], batch["roi_cam"],
+        batch["roi_center"], batch["roi_wh"], batch["roi_extent"],
+        batch["resize_ratio"], batch["roi_coord_2d"], train=False,
+    )
+    assert out["rot"].shape == (2, 3, 3)
+    assert out["trans"].shape == (2, 3)
+    assert out["coor"].shape == (2, 16, 16, 3)
+    assert out["mask_logits"].shape == (2, 16, 16, 1)
+    assert out["region_logits"].shape == (2, 16, 16, 9)
+    # rotation validity
+    eye = np.asarray(jnp.swapaxes(out["rot"], -1, -2) @ out["rot"])
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-4)
+
+
+def test_geo_mode_skips_pose(setup):
+    cfg, model, batch, variables = setup
+    out = model.apply(
+        variables, batch["roi_img"], batch["roi_cls"], batch["roi_cam"],
+        batch["roi_center"], batch["roi_wh"], batch["roi_extent"],
+        batch["resize_ratio"], batch["roi_coord_2d"], train=False,
+        forward_mode="geo",
+    )
+    assert "rot" not in out and "coor" in out
+
+
+def test_loss_finite_and_grads(setup):
+    cfg, model, batch, variables = setup
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {**variables, "params": params}, batch["roi_img"], batch["roi_cls"],
+            batch["roi_cam"], batch["roi_center"], batch["roi_wh"],
+            batch["roi_extent"], batch["resize_ratio"], batch["roi_coord_2d"],
+            train=True, mutable=["batch_stats"],
+        )
+        ld = gdrn_loss(cfg.model.loss, cfg.model.pnp_net, out, batch,
+                       num_regions=cfg.model.geo_head.num_regions)
+        return sum(jax.tree.leaves(ld)), ld
+
+    (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(total)), ld
+    expected_keys = {"loss_coor_x", "loss_coor_y", "loss_coor_z", "loss_mask",
+                     "loss_region", "loss_PM_R", "loss_PM_xy", "loss_PM_z",
+                     "loss_centroid", "loss_z"}
+    assert expected_keys <= set(ld.keys()), set(ld.keys())
+    gnorm = jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads)))
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_binned_xyz_variant():
+    cfg = tiny_cfg()
+    m = dataclasses.replace(
+        cfg.model,
+        geo_head=dataclasses.replace(cfg.model.geo_head, xyz_bin=16),
+        loss=dataclasses.replace(cfg.model.loss, xyz_loss_type="CE_coor"),
+    )
+    model = GDRN(cfg=m)
+    batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(
+        Config(model=m), 2, input_res=64, output_res=16, n_points=64).items()}
+    batch["gt_xyz_bin"] = jnp.clip(batch["gt_xyz_bin"], 0, 16)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["roi_img"], batch["roi_cls"],
+        batch["roi_cam"], batch["roi_center"], batch["roi_wh"],
+        batch["roi_extent"], batch["resize_ratio"], batch["roi_coord_2d"])
+    out = model.apply(
+        variables, batch["roi_img"], batch["roi_cls"], batch["roi_cam"],
+        batch["roi_center"], batch["roi_wh"], batch["roi_extent"],
+        batch["resize_ratio"], batch["roi_coord_2d"])
+    assert out["coor_logits"].shape == (2, 16, 16, 3, 17)
+    assert out["coor"].shape == (2, 16, 16, 3)
+    ld = gdrn_loss(m.loss, m.pnp_net, out, batch, xyz_bin=16)
+    assert np.isfinite(float(sum(jax.tree.leaves(ld))))
+
+
+def test_double_mask_vf_variant():
+    """GDRN_double_mask_double_vf parity: 2 masks + VF head."""
+    cfg = tiny_cfg()
+    m = dataclasses.replace(
+        cfg.model,
+        geo_head=dataclasses.replace(cfg.model.geo_head, num_masks=2,
+                                     with_vf=True, with_norm=True),
+    )
+    model = GDRN(cfg=m)
+    batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(
+        Config(model=m), 2, input_res=64, output_res=16, n_points=64).items()}
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["roi_img"], batch["roi_cls"],
+        batch["roi_cam"], batch["roi_center"], batch["roi_wh"],
+        batch["roi_extent"], batch["resize_ratio"], batch["roi_coord_2d"])
+    out = model.apply(
+        variables, batch["roi_img"], batch["roi_cls"], batch["roi_cam"],
+        batch["roi_center"], batch["roi_wh"], batch["roi_extent"],
+        batch["resize_ratio"], batch["roi_coord_2d"])
+    assert out["mask_logits"].shape[-1] == 2
+    assert out["vf"].shape == (2, 16, 16, 4)
+    assert out["norm"].shape == (2, 16, 16, 3)
+
+
+def test_class_aware_gather():
+    cfg = tiny_cfg()
+    m = dataclasses.replace(
+        cfg.model,
+        geo_head=dataclasses.replace(cfg.model.geo_head, xyz_class_aware=True,
+                                     mask_class_aware=True,
+                                     region_class_aware=True),
+    )
+    model = GDRN(cfg=m)
+    batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(
+        Config(model=m), 2, input_res=64, output_res=16, n_points=64).items()}
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["roi_img"], batch["roi_cls"],
+        batch["roi_cam"], batch["roi_center"], batch["roi_wh"],
+        batch["roi_extent"], batch["resize_ratio"], batch["roi_coord_2d"])
+    out = model.apply(
+        variables, batch["roi_img"], batch["roi_cls"], batch["roi_cam"],
+        batch["roi_center"], batch["roi_wh"], batch["roi_extent"],
+        batch["resize_ratio"], batch["roi_coord_2d"])
+    assert out["coor"].shape == (2, 16, 16, 3)
+    assert out["mask_logits"].shape == (2, 16, 16, 1)
+    assert out["region_logits"].shape == (2, 16, 16, 9)
+
+
+def test_resnest_backbone_smoke():
+    from self6dpp_tpu.models.backbones.resnet import ResNetBackbone
+    model = ResNetBackbone(name="resnest50d")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == (1, 2, 2, 2048)
