@@ -1,0 +1,123 @@
+"""Optimizer factory (optax), covering the reference's solver registry.
+
+Parity target: core/utils/solver_utils.py:28-59 registers Ranger (stage-II
+default), AdaBelief, MADGRAD, AdamP/SGDP, SGD_GC, Lookahead, RAdam — here
+mapped onto optax primitives (ranger = lookahead(radam), sgd_gc = gradient
+centralization transform + sgd). The grad pipeline also reproduces the
+reference engine's nan_to_num + clip_grad_norm (engine.py:421-435).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config.base import SolverConfig
+from .schedule import flat_and_anneal
+
+
+def _gradient_centralization() -> optax.GradientTransformation:
+    """GC (Yong et al. 2020): subtract per-filter mean from conv/dense grads."""
+
+    def update_fn(updates, state, params=None):
+        def gc(g):
+            if g.ndim > 1:
+                axes = tuple(range(g.ndim - 1))
+                return g - g.mean(axis=axes, keepdims=True)
+            return g
+        return jax.tree.map(gc, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
+
+
+def _nan_to_num() -> optax.GradientTransformation:
+    """Reference engine.py:423-431: nan_to_num every gradient before stepping."""
+
+    def update_fn(updates, state, params=None):
+        return jax.tree.map(jnp.nan_to_num, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
+
+
+def _lookahead_wrap(inner: optax.GradientTransformation, sync_period: int = 6,
+                    slow_step_size: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead (Zhang et al. 2019) as a plain transformation wrapper.
+
+    Unlike optax.lookahead, no LookaheadParams wrapper is needed: the slow
+    weights live in the optimizer state, and at every sync step the emitted
+    update teleports the (fast) params onto the interpolated slow weights.
+    """
+
+    def init_fn(params):
+        return {"inner": inner.init(params),
+                "slow": jax.tree.map(lambda x: jnp.array(x, copy=True), params),
+                "count": jnp.zeros([], jnp.int32)}
+
+    def update_fn(updates, state, params):
+        inner_updates, inner_state = inner.update(updates, state["inner"], params)
+        count = state["count"] + 1
+        sync = (count % sync_period) == 0
+
+        fast_new = jax.tree.map(lambda p, u: p + u, params, inner_updates)
+        slow_new = jax.tree.map(
+            lambda s, f: s + slow_step_size * (f - s), state["slow"], fast_new)
+
+        def pick(s_new, s_old, f_new, p):
+            upd_sync = s_new - p
+            upd_norm = f_new - p
+            return jnp.where(sync, upd_sync, upd_norm)
+
+        out_updates = jax.tree.map(pick, slow_new, state["slow"], fast_new, params)
+        out_slow = jax.tree.map(
+            lambda s_new, s_old: jnp.where(sync, s_new, s_old),
+            slow_new, state["slow"])
+        return out_updates, {"inner": inner_state, "slow": out_slow, "count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(cfg: SolverConfig) -> tuple[optax.GradientTransformation, Callable]:
+    """Returns (tx, lr_schedule). Gradient accumulation to reference_bs is
+    applied via optax.MultiSteps (reference main_gdrn.py:87-121)."""
+    if cfg.lr_sched == "flat_and_anneal":
+        sched = flat_and_anneal(cfg)
+    else:
+        sched = lambda step: cfg.base_lr
+
+    name = cfg.optimizer.lower()
+    if name == "ranger":
+        core = _lookahead_wrap(optax.radam(sched), sync_period=6, slow_step_size=0.5)
+    elif name == "radam":
+        core = optax.radam(sched)
+    elif name == "adam":
+        core = optax.adam(sched)
+    elif name == "adamw":
+        core = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif name == "adabelief":
+        core = optax.adabelief(sched)
+    elif name == "sgd":
+        core = optax.sgd(sched, momentum=cfg.momentum)
+    elif name == "sgd_gc":
+        core = optax.chain(_gradient_centralization(), optax.sgd(sched, momentum=cfg.momentum))
+    else:
+        raise ValueError(f"unknown optimizer: {cfg.optimizer}")
+
+    chain = [_nan_to_num()]
+    if cfg.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    if cfg.weight_decay > 0 and name not in ("adamw",):
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(core)
+    tx = optax.chain(*chain)
+
+    accum = max(cfg.reference_bs // max(cfg.ims_per_batch, 1), 1)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx, sched
+
+
+def is_lookahead(cfg: SolverConfig) -> bool:
+    return cfg.optimizer.lower() == "ranger"
