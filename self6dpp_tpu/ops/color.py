@@ -1,0 +1,75 @@
+"""Differentiable color-space conversions (NHWC, values in [0,1]).
+
+Parity target: lib/torch_utils/color/ (rgb_to_lab used by the stage-II LAB
+loss, self_engine_utils.py:745-774; plus hsv/gray helpers).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# sRGB D65
+_RGB2XYZ = jnp.asarray([
+    [0.412453, 0.357580, 0.180423],
+    [0.212671, 0.715160, 0.072169],
+    [0.019334, 0.119193, 0.950227],
+])
+_XYZ_REF = jnp.asarray([0.950456, 1.0, 1.088754])
+
+
+def rgb_to_linear(rgb: Array) -> Array:
+    return jnp.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+
+
+def rgb_to_xyz(rgb: Array) -> Array:
+    lin = rgb_to_linear(rgb)
+    return jnp.einsum("...c,dc->...d", lin, _RGB2XYZ)
+
+
+def rgb_to_lab(rgb: Array, eps: float = 1e-8) -> Array:
+    """RGB [0,1] -> CIELAB (L in [0,100], a/b roughly [-128,127])."""
+    xyz = rgb_to_xyz(rgb) / _XYZ_REF
+    thr = 0.008856
+    f = jnp.where(xyz > thr, jnp.cbrt(jnp.maximum(xyz, eps)),
+                  7.787 * xyz + 16.0 / 116.0)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    L = 116.0 * fy - 16.0
+    a = 500.0 * (fx - fy)
+    b = 200.0 * (fy - fz)
+    return jnp.stack([L, a, b], axis=-1)
+
+
+def rgb_to_gray(rgb: Array) -> Array:
+    return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])[..., None]
+
+
+def rgb_to_hsv(rgb: Array, eps: float = 1e-8) -> Array:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.max(rgb, axis=-1)
+    mn = jnp.min(rgb, axis=-1)
+    d = mx - mn
+    h = jnp.where(
+        mx == r, (g - b) / (d + eps) % 6.0,
+        jnp.where(mx == g, (b - r) / (d + eps) + 2.0, (r - g) / (d + eps) + 4.0))
+    h = jnp.where(d < eps, 0.0, h) / 6.0
+    s = jnp.where(mx > eps, d / (mx + eps), 0.0)
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def lab_loss(pred_rgb: Array, gt_rgb: Array, mask: Array | None = None,
+             no_l: bool = True) -> Array:
+    """L1 on (a,b) [optionally +L] channels (stage-II LAB color loss,
+    self_engine_utils.py:745-774: compares chroma only by default so the loss
+    is robust to synthetic/real lighting gaps)."""
+    lab_p = rgb_to_lab(pred_rgb)
+    lab_g = rgb_to_lab(gt_rgb)
+    diff = jnp.abs(lab_p - lab_g)
+    if no_l:
+        diff = diff[..., 1:]
+    if mask is not None:
+        diff = diff * mask[..., None]
+        return diff.sum() / (jnp.maximum(mask.sum(), 1.0) * diff.shape[-1])
+    return diff.mean()
