@@ -135,6 +135,46 @@ class PoseNetConfig:
     use_mtl: bool = False           # uncertainty multi-task weighting
 
 
+@dataclass(frozen=True)
+class DeepIMConfig:
+    """DeepIM render-and-compare refiner (core/deepim/models/DeepIM_FlowNet.py).
+
+    The refine loop runs as lax.scan with in-graph re-rendering — one XLA
+    graph for all n_iter iterations (vs the reference's python loop with EGL
+    round-trips, core/deepim/engine/engine.py:275-365)."""
+    name: str = "DeepIM_FlowNet"
+    num_classes: int = 13
+    input_h: int = 512
+    input_w: int = 512
+    in_channels: int = 6            # 6 = rgb ren+obs; 8 adds mask channels
+    backbone: str = "flownets"
+    use_bn: bool = False
+    flat_op: str = "avg"            # flatten | avg | avg-max | avg-max-min
+    rot_type: str = "ego_rot6d"
+    z_style: str = "cosypose"       # cosypose | deepim
+    t_space: str = "image"
+    t_weight: float = 1.0
+    pose_feat_dim: int = 256
+    pose_num_layers: int = 2
+    with_mask_head: bool = True
+    mask_class_aware: bool = False
+    with_flow: bool = True          # supervise flow4
+    n_iter_train: int = 4
+    n_iter_test: int = 4
+    zoom_lamb: float = 1.4
+    # losses
+    pm_lw: float = 10.0
+    pm_loss_sym: bool = True
+    pm_r_only: bool = False
+    pm_disentangle_z: bool = True
+    flow_lw: float = 0.1
+    mask_lw: float = 1.0
+    mask_loss_type: str = "BCE"
+    trans_lw: float = 1.0
+    rot_lw: float = 0.0
+    use_mtl: bool = False
+
+
 # ---------------------------------------------------------------------------
 # solver / schedule
 # ---------------------------------------------------------------------------
@@ -279,6 +319,7 @@ class Config:
     output_dir: str = "output"
     seed: int = 0
     model: PoseNetConfig = field(default_factory=PoseNetConfig)
+    deepim: DeepIMConfig = field(default_factory=DeepIMConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     data: DataConfig = field(default_factory=DataConfig)
     test: TestConfig = field(default_factory=TestConfig)

@@ -110,9 +110,17 @@ def rot6d_to_mat(d6: Array) -> Array:
     """
     x_raw, y_raw = d6[..., 0:3], d6[..., 3:6]
     # clamped-norm division (torch F.normalize semantics): exact unit vectors
-    # even for tiny inputs (freshly-initialized heads emit ~1e-5 magnitudes)
+    # even for tiny inputs (freshly-initialized heads emit ~1e-5 magnitudes);
+    # exact zeros (padded/zero inputs) fall back to the canonical basis so the
+    # output is always a valid rotation
+    e1 = jnp.zeros_like(x_raw).at[..., 0].set(1.0)
+    e2 = jnp.zeros_like(y_raw).at[..., 1].set(1.0)
+    xn = jnp.linalg.norm(x_raw, axis=-1, keepdims=True)
+    x_raw = jnp.where(xn < 1e-20, e1, x_raw)
     x = x_raw / jnp.maximum(jnp.linalg.norm(x_raw, axis=-1, keepdims=True), 1e-12)
     z = jnp.cross(x, y_raw)
+    zn = jnp.linalg.norm(z, axis=-1, keepdims=True)
+    z = jnp.where(zn < 1e-20, jnp.cross(x, e2) + jnp.cross(x, e1), z)
     z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
     y = jnp.cross(z, x)
     return jnp.stack([x, y, z], axis=-1)  # columns

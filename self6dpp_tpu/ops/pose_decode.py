@@ -88,6 +88,53 @@ def pose_from_centroid_z_abs(
     return rot_ego, trans
 
 
+def pose_from_delta_init(
+    rot_deltas: Array,        # (B, 3, 3)
+    trans_deltas: Array,      # (B, 3) vx vy vz in image space
+    rot_inits: Array,         # (B, 3, 3)
+    trans_inits: Array,       # (B, 3)
+    Ks: Array | None = None,  # (B, 3, 3) zoomed intrinsics
+    K_aware: bool = True,
+    delta_T_space: str = "image",
+    delta_T_weight: float = 1.0,
+    delta_z_style: str = "cosypose",
+    eps: float = 1e-4,
+    is_allo: bool = False,
+) -> tuple[Array, Array]:
+    """DeepIM/CosyPose-style delta-pose update (render-and-compare).
+
+    Reference: core/deepim/models/pose_from_delta_init.py:15-88.
+      image-space: ztgt = vz * zsrc (cosypose) or zsrc / exp(vz) (deepim);
+                   xy_tgt = ztgt * (vxvy / fxfy + xy_src / zsrc)
+      rotation:    R_tgt = R_delta @ R_init (camera frame)
+    """
+    trans_deltas = trans_deltas * delta_T_weight
+    if delta_T_space == "image":
+        zsrc = trans_inits[:, 2:3]
+        vz = trans_deltas[:, 2:3]
+        if delta_z_style == "cosypose":
+            ztgt = vz * zsrc
+        else:  # deepim: vz = log(zsrc/ztgt)
+            ztgt = zsrc / jnp.exp(vz)
+        vxvy = trans_deltas[:, :2]
+        if K_aware:
+            assert Ks is not None
+            fxfy = jnp.stack([Ks[:, 0, 0], Ks[:, 1, 1]], axis=1)
+        else:
+            fxfy = jnp.ones_like(vxvy)
+        xy_tgt = ztgt * (vxvy / fxfy + trans_inits[:, :2] / zsrc)
+        trans_tgts = jnp.concatenate([xy_tgt, ztgt], axis=-1)
+    elif delta_T_space == "3D":
+        trans_tgts = trans_inits + trans_deltas
+    else:
+        raise ValueError(f"unknown delta_T_space: {delta_T_space}")
+
+    ego_rot_deltas = (allo_to_ego_mat(trans_tgts, rot_deltas, eps=eps)
+                      if is_allo else rot_deltas)
+    rot_tgts = ego_rot_deltas @ rot_inits
+    return rot_tgts, trans_tgts
+
+
 def pose_from_trans(
     pred_rot_m: Array,
     pred_trans: Array,        # (B, 3) direct translation
