@@ -1,0 +1,304 @@
+"""GDRN train/test batch builder — host numpy pipeline feeding fixed-shape
+device batches.
+
+Parity target: core/gdrn_modeling/datasets/data_loader.py
+(GDRN_DatasetFromList.read_data_train:357-870 / read_data_test) and
+engine_utils.batch_data: DZI crop to input_res, per-roi zoomed labels
+(xyz via online rendering, region from FPS points, mask hierarchy,
+coord-2d maps), SITE trans ratios.
+
+The reference renders GT xyz with EGL per sample on the GPU inside loader
+workers; here GT xyz/masks are rasterized in a single batched CPU-jax call
+per batch (or loaded from precomputed crops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+
+from ..config.base import Config
+from ..ops.fps import farthest_point_sampling, xyz_to_region
+from .aug import (aug_bbox_dzi, color_aug, crop_resize_by_warp_affine,
+                  get_2d_coord, replace_bg)
+from .bop import Record
+from .meshes import load_ply
+from .ref import DatasetMeta, sym_rotations_from_info
+
+
+@dataclass
+class ObjectModels:
+    """Per-class static mesh/metadata tensors (padded)."""
+    names: list[str]
+    verts: np.ndarray            # (C, V, 3)
+    faces: np.ndarray            # (C, F, 3)
+    colors: np.ndarray           # (C, V, 3)
+    normals: np.ndarray          # (C, V, 3)
+    fps_points: np.ndarray       # (C, n_regions, 3)
+    pm_points: np.ndarray        # (C, n_points, 3) FPS-sampled loss points
+    extents: np.ndarray          # (C, 3)
+    diameters: np.ndarray        # (C,)
+    sym_rots: np.ndarray         # (C, S, 3, 3)
+    sym_valid: np.ndarray        # (C, S)
+
+    @classmethod
+    def from_meshes(cls, names, meshes: list[dict], n_regions: int = 64,
+                    n_points: int = 512, max_sym: int = 32,
+                    models_info: dict | None = None,
+                    sym_names: tuple[str, ...] = ()) -> "ObjectModels":
+        """meshes: list of dicts with verts/faces[/colors/normals] (metres)."""
+        from .meshes import pad_mesh
+        from ..ops.rasterizer import compute_vertex_normals
+        import jax.numpy as jnp
+
+        max_v = max(len(m["verts"]) for m in meshes)
+        max_f = max(len(m["faces"]) for m in meshes)
+        C = len(meshes)
+        verts = np.zeros((C, max_v, 3), np.float32)
+        faces = np.zeros((C, max_f, 3), np.int32)
+        colors = np.zeros((C, max_v, 3), np.float32)
+        normals = np.zeros((C, max_v, 3), np.float32)
+        fps_pts = np.zeros((C, n_regions, 3), np.float32)
+        pm_pts = np.zeros((C, n_points, 3), np.float32)
+        extents = np.zeros((C, 3), np.float32)
+        diam = np.zeros((C,), np.float32)
+        srots = np.broadcast_to(np.eye(3, dtype=np.float32),
+                                (C, max_sym, 3, 3)).copy()
+        svalid = np.zeros((C, max_sym), bool)
+        svalid[:, 0] = True
+
+        for i, m in enumerate(meshes):
+            v, f = m["verts"], m["faces"]
+            pv, pf = pad_mesh(v, f, max_v, max_f)
+            verts[i], faces[i] = pv, pf
+            if "colors" in m:
+                colors[i, : len(v)] = m["colors"]
+            else:
+                ext = v.max(0) - v.min(0)
+                colors[i, : len(v)] = (v - v.min(0)) / np.maximum(ext, 1e-8)
+            if "normals" in m:
+                normals[i, : len(v)] = m["normals"]
+            else:
+                normals[i, : len(v)] = np.asarray(
+                    compute_vertex_normals(jnp.asarray(v), jnp.asarray(f)))
+            idx = farthest_point_sampling(v, min(n_regions, len(v)))
+            fps_pts[i, : len(idx)] = v[idx]
+            idx2 = farthest_point_sampling(v, min(n_points, len(v)))
+            pm_pts[i] = v[np.resize(idx2, n_points)]
+            extents[i] = v.max(0) - v.min(0)
+            diam[i] = np.linalg.norm(extents[i])
+            if models_info is not None and names[i] in models_info:
+                sr, sv = sym_rotations_from_info(models_info[names[i]], max_sym)
+                srots[i], svalid[i] = sr, sv
+            elif names[i] in sym_names:
+                # default: 180° z-flip symmetry (eggbox/glue style)
+                srots[i, 1] = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+                svalid[i, 1] = True
+        return cls(list(names), verts, faces, colors, normals, fps_pts,
+                   pm_pts, extents, diam, srots, svalid)
+
+    @classmethod
+    def from_ply_files(cls, names, paths, scale: float = 1e-3, **kw):
+        meshes = []
+        for p in paths:
+            m = load_ply(p)
+            m["verts"] = m["verts"] * scale
+            meshes.append(m)
+        return cls.from_meshes(list(names), meshes, **kw)
+
+
+class GDRNDataset:
+    """Iterable producing fixed-shape GDRN batches from BOP records."""
+
+    def __init__(self, cfg: Config, records: list[Record],
+                 models: ObjectModels, meta: DatasetMeta,
+                 train: bool = True, seed: int = 0,
+                 bg_images: list[np.ndarray] | None = None):
+        self.cfg = cfg
+        self.records = records
+        self.models = models
+        self.meta = meta
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+        self.bg_images = bg_images or []
+        # flat instance index
+        self.index: list[tuple[int, int]] = [
+            (ri, ii) for ri, r in enumerate(records)
+            for ii in range(len(r.instances))
+        ]
+        self._coord2d_cache: dict[tuple, np.ndarray] = {}
+
+    def __len__(self):
+        return len(self.index)
+
+    # ------------------------------------------------------------------
+    def _load_image(self, rec: Record) -> np.ndarray:
+        import cv2
+        img = cv2.imread(rec.file_name, cv2.IMREAD_COLOR)
+        assert img is not None, rec.file_name
+        return img[..., ::-1].astype(np.float32) / 255.0      # RGB [0,1]
+
+    def _load_mask(self, path: str | None, shape) -> np.ndarray:
+        if path is None:
+            return np.ones(shape[:2], np.float32)
+        import cv2, os
+        if not os.path.exists(path):
+            return np.ones(shape[:2], np.float32)
+        m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        return (m > 0).astype(np.float32)
+
+    def _load_depth(self, rec: Record) -> np.ndarray | None:
+        import cv2, os
+        if rec.depth_file is None or not os.path.exists(rec.depth_file):
+            return None
+        d = cv2.imread(rec.depth_file, cv2.IMREAD_UNCHANGED)
+        return d.astype(np.float32) * rec.depth_scale / 1000.0
+
+    def _render_xyz(self, cls_idx: int, K: np.ndarray, R: np.ndarray,
+                    t: np.ndarray, center, scale, out_res: int):
+        """Online GT xyz/mask rendering in the output-res crop frame
+        (replaces the EGL path, data_loader.py:498-521)."""
+        import jax.numpy as jnp
+        from ..ops.rasterizer import rasterize_single
+        from ..ops.zoom import zoom_K as _zoom_K
+        box = np.array([[center[0] - scale / 2, center[1] - scale / 2,
+                         center[0] + scale / 2, center[1] + scale / 2]],
+                       np.float32)
+        Kz = np.asarray(_zoom_K(jnp.asarray(K), jnp.asarray(box),
+                                (out_res, out_res)))[0]
+        out = rasterize_single(
+            jnp.asarray(self.models.verts[cls_idx]),
+            jnp.asarray(self.models.faces[cls_idx]),
+            jnp.asarray(self.models.verts[cls_idx]),
+            jnp.asarray(Kz), jnp.asarray(R), jnp.asarray(t),
+            height=out_res, width=out_res, tile_px=8, faces_per_tile=64)
+        return np.asarray(out.attr), np.asarray(out.mask)
+
+    # ------------------------------------------------------------------
+    def make_sample(self, ri: int, ii: int) -> dict[str, np.ndarray]:
+        cfg = self.cfg
+        rec = self.records[ri]
+        inst = rec.instances[ii]
+        meta = self.meta
+        s_in = cfg.model.input_res
+        s_out = cfg.model.output_res
+
+        img = self._load_image(rec)
+        im_h, im_w = img.shape[:2]
+        cls_idx = meta.objects.index(meta.id2obj[inst.obj_id])
+
+        mask_visib = self._load_mask(inst.mask_visib_path, img.shape)
+        mask_full = self._load_mask(inst.mask_full_path, img.shape)
+
+        if self.train and self.bg_images and \
+                self.rng.random() < cfg.data.bg_replace_prob:
+            bg = self.bg_images[self.rng.integers(len(self.bg_images))]
+            img = replace_bg(img, mask_full, bg,
+                             truncate_fg=cfg.data.truncate_fg, rng=self.rng)
+        if self.train and cfg.data.color_aug_prob > 0:
+            img = color_aug(img, self.rng, cfg.data.color_aug_prob)
+
+        bbox = inst.bbox_visib
+        dzi = cfg.data.dzi if self.train else \
+            type(cfg.data.dzi)(type="none", pad_scale=cfg.data.dzi.pad_scale)
+        center, scale = aug_bbox_dzi(dzi, bbox, im_h, im_w, self.rng)
+
+        roi_img = crop_resize_by_warp_affine(img, center, scale, s_in)
+        m_visib = crop_resize_by_warp_affine(mask_visib, center, scale, s_out,
+                                             interpolation="nearest")
+        m_full = crop_resize_by_warp_affine(mask_full, center, scale, s_out,
+                                            interpolation="nearest")
+
+        key = (im_w, im_h)
+        if key not in self._coord2d_cache:
+            self._coord2d_cache[key] = get_2d_coord(im_w, im_h)
+        coord2d = crop_resize_by_warp_affine(
+            self._coord2d_cache[key], center, scale, s_out)
+
+        # gt xyz + obj mask in the crop frame (online render)
+        R, t = inst.R, inst.t
+        xyz_obj, m_obj = self._render_xyz(cls_idx, rec.K, R, t, center,
+                                          scale, s_out)
+        ext = np.maximum(self.models.extents[cls_idx], 1e-8)
+        xyz_norm = np.where(m_obj[..., None] > 0,
+                            xyz_obj / ext + 0.5, 0.0).astype(np.float32)
+        region = xyz_to_region(xyz_obj, self.models.fps_points[cls_idx],
+                               m_obj * m_visib if self.train else m_obj)
+
+        # SITE targets
+        obj_center = rec.K @ t
+        obj_center = obj_center[:2] / obj_center[2]
+        bw = max(bbox[2] - bbox[0], 1.0)
+        bh = max(bbox[3] - bbox[1], 1.0)
+        resize_ratio = s_out / scale
+        trans_ratio = np.array([
+            (obj_center[0] - center[0]) / bw,
+            (obj_center[1] - center[1]) / bh,
+            t[2] / resize_ratio], np.float32)
+
+        sample = {
+            "roi_img": roi_img.astype(np.float32),
+            "roi_cls": np.int32(cls_idx),
+            "roi_cam": rec.K.astype(np.float32),
+            "roi_center": center.astype(np.float32),
+            "roi_wh": np.array([bw, bh], np.float32),
+            "roi_extent": self.models.extents[cls_idx],
+            "resize_ratio": np.float32(resize_ratio),
+            "roi_coord_2d": coord2d.astype(np.float32),
+            "gt_xyz": xyz_norm,
+            "gt_xyz_bin": np.clip((xyz_norm *
+                                   cfg.model.geo_head.xyz_bin).astype(np.int32),
+                                  0, cfg.model.geo_head.xyz_bin - 1),
+            "gt_mask_trunc": (m_visib * m_obj).astype(np.float32),
+            "gt_mask_visib": m_visib.astype(np.float32),
+            "gt_mask_obj": m_obj.astype(np.float32),
+            "gt_mask_full": m_full.astype(np.float32),
+            "gt_region": region.astype(np.int32),
+            "gt_rot": R.astype(np.float32),
+            "gt_trans": t.astype(np.float32),
+            "gt_trans_ratio": trans_ratio,
+            "gt_points": self.models.pm_points[cls_idx],
+            "sym_rots": self.models.sym_rots[cls_idx],
+            "sym_valid": self.models.sym_valid[cls_idx],
+            "scene_im_id_scene": np.int32(rec.scene_id),
+            "scene_im_id_im": np.int32(rec.im_id),
+            "obj_id": np.int32(inst.obj_id),
+            "score": np.float32(inst.score),
+        }
+        if inst.pose_est is not None:
+            sample["pose_est_rot"] = inst.pose_est[:, :3].astype(np.float32)
+            sample["pose_est_trans"] = inst.pose_est[:, 3].astype(np.float32)
+        if inst.pose_refine is not None:
+            sample["pseudo_rot"] = inst.pose_refine[:, :3].astype(np.float32)
+            sample["pseudo_trans"] = inst.pose_refine[:, 3].astype(np.float32)
+        return sample
+
+    # ------------------------------------------------------------------
+    def batches(self, batch_size: int, infinite: bool | None = None
+                ) -> Iterator[dict[str, np.ndarray]]:
+        """Infinite shuffled batches for train (TrainingSampler parity),
+        one sequential padded epoch for test (InferenceSampler)."""
+        infinite = self.train if infinite is None else infinite
+        n = len(self.index)
+        if infinite:
+            while True:
+                order = self.rng.permutation(n)
+                for i in range(0, n - batch_size + 1, batch_size):
+                    idx = order[i : i + batch_size]
+                    yield self._collate([self.make_sample(*self.index[j])
+                                         for j in idx])
+        else:
+            for i in range(0, n, batch_size):
+                idx = list(range(i, min(i + batch_size, n)))
+                samples = [self.make_sample(*self.index[j]) for j in idx]
+                pad = batch_size - len(samples)
+                batch = self._collate(samples + [samples[-1]] * pad)
+                batch["_valid"] = np.array(
+                    [1] * len(samples) + [0] * pad, np.int32)
+                yield batch
+
+    @staticmethod
+    def _collate(samples: list[dict]) -> dict[str, np.ndarray]:
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}

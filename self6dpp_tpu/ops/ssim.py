@@ -72,8 +72,9 @@ def ms_ssim(img1: Array, img2: Array, data_range: float = 1.0,
     while max_levels < len(weights) and (min_hw >> max_levels) >= win_size:
         max_levels += 1
     if max_levels < len(weights):
-        w = jnp.asarray(weights[:max_levels])
-        weights = tuple((w / w.sum()).tolist())
+        ws = weights[:max_levels]
+        s = sum(ws)
+        weights = tuple(x / s for x in ws)
     levels = len(weights)
     vals = []
     for i in range(levels):
