@@ -1,0 +1,209 @@
+"""Evaluation: inference loop, direct ADD-metric tables, BOP CSV export,
+PnP/RANSAC post-processing.
+
+Parity targets:
+  core/gdrn_modeling/engine/gdrn_evaluator.py (gdrn_inference_on_dataset,
+    BOP-csv rows, PnP variants from predicted xyz+mask correspondences
+    :102-141, net decode path)
+  core/gdrn_modeling/engine/gdrn_custom_evaluator.py:605-736 (recall tables
+    ad_2/5/10, rete_n, re_n, te_n, proj_n with symmetry handling)
+  core/gdrn_modeling/engine/test_utils.py:33-81 (BOP csv format: scene_id,
+    im_id,obj_id,score,R,t,time — R row-major space-separated, t in mm)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+from typing import Callable, Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.loader import ObjectModels
+from ..data.ref import DatasetMeta
+from ..ops import pose_errors as PE
+
+Array = jax.Array
+
+
+def bop_csv_rows(results: list[dict]) -> str:
+    """results: dicts with scene_id, im_id, obj_id, score, R (3,3), t (3,) m,
+    time. Returns csv text (BOP19 format)."""
+    lines = ["scene_id,im_id,obj_id,score,R,t,time"]
+    for r in results:
+        R = " ".join(f"{x:.8f}" for x in np.asarray(r["R"]).reshape(-1))
+        t = " ".join(f"{x:.8f}" for x in np.asarray(r["t"]).reshape(-1) * 1000.0)
+        lines.append(
+            f"{r['scene_id']},{r['im_id']},{r['obj_id']},{r.get('score', 1.0):.8f},"
+            f"{R},{t},{r.get('time', -1.0):.8f}")
+    return "\n".join(lines) + "\n"
+
+
+def save_bop_csv(path: str, results: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(bop_csv_rows(results))
+
+
+def load_bop_csv(path: str) -> list[dict]:
+    out = []
+    with open(path) as f:
+        header = f.readline()
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) < 6:
+                continue
+            out.append({
+                "scene_id": int(parts[0]), "im_id": int(parts[1]),
+                "obj_id": int(parts[2]), "score": float(parts[3]),
+                "R": np.fromstring(parts[4], sep=" ").reshape(3, 3),
+                "t": np.fromstring(parts[5], sep=" ") / 1000.0,
+                "time": float(parts[6]) if len(parts) > 6 else -1.0,
+            })
+    return out
+
+
+class PoseEvaluator:
+    """Collects per-instance predictions, computes recall tables per object.
+
+    Vectorized: errors for all instances of an object are computed in one
+    batched jax call (vs the reference's per-instance python loops,
+    gdrn_custom_evaluator.py:330-470)."""
+
+    def __init__(self, models: ObjectModels, meta: DatasetMeta,
+                 n_error_points: int = 512):
+        self.models = models
+        self.meta = meta
+        self.preds: dict[int, list[dict]] = defaultdict(list)
+        self.n_pts = n_error_points
+
+    def process(self, batch: dict, output: dict) -> None:
+        """batch: host arrays with roi_cls / gt / ids; output: rot (B,3,3),
+        trans (B,3) [+ optional 'time' scalar]."""
+        rot = np.asarray(output["rot"])
+        trans = np.asarray(output["trans"])
+        valid = np.asarray(batch.get("_valid", np.ones(len(rot), np.int32)))
+        for i in range(len(rot)):
+            if not valid[i]:
+                continue
+            cls = int(batch["roi_cls"][i])
+            self.preds[cls].append({
+                "R": rot[i], "t": trans[i],
+                "R_gt": np.asarray(batch["gt_rot"][i]),
+                "t_gt": np.asarray(batch["gt_trans"][i]),
+                "K": np.asarray(batch["roi_cam"][i]),
+                "scene_id": int(batch.get("scene_im_id_scene", [0] * len(rot))[i]),
+                "im_id": int(batch.get("scene_im_id_im", [0] * len(rot))[i]),
+                "obj_id": int(batch.get("obj_id", [0] * len(rot))[i]),
+                "score": float(batch.get("score", [1.0] * len(rot))[i]),
+                "time": float(output.get("time", -1.0)),
+            })
+
+    def evaluate(self) -> dict[str, dict[str, float]]:
+        """Returns {obj_name: recall_table} + 'avg'."""
+        tables: dict[str, dict[str, float]] = {}
+        for cls, preds in sorted(self.preds.items()):
+            name = self.models.names[cls]
+            pts = self.models.pm_points[cls][: self.n_pts]
+            diam = float(self.models.diameters[cls])
+            R_est = jnp.asarray(np.stack([p["R"] for p in preds]))
+            t_est = jnp.asarray(np.stack([p["t"] for p in preds]))
+            R_gt = jnp.asarray(np.stack([p["R_gt"] for p in preds]))
+            t_gt = jnp.asarray(np.stack([p["t_gt"] for p in preds]))
+            K = jnp.asarray(np.stack([p["K"] for p in preds]))
+            P = jnp.asarray(pts)[None].repeat(len(preds), 0)
+            is_sym = self.meta.is_sym(name) if name in self.meta.objects else False
+            add = np.asarray(PE.add_or_adi_error(
+                R_est, t_est, R_gt, t_gt, P,
+                jnp.asarray([is_sym] * len(preds))))
+            re = np.asarray(PE.re_error(R_est, R_gt))
+            te = np.asarray(PE.te_error(t_est, t_gt))
+            proj = np.asarray(PE.proj_error(R_est, t_est, R_gt, t_gt, K, P))
+            tables[name] = PE.recall_table(add, re, te, proj, diam)
+            tables[name]["auc_add"] = PE.auc_add(add)
+            tables[name]["n"] = len(preds)
+        if tables:
+            keys = next(iter(tables.values())).keys()
+            tables["avg"] = {
+                k: float(np.mean([t[k] for t in tables.values()])) for k in keys}
+        return tables
+
+    def results_for_csv(self) -> list[dict]:
+        return [p for preds in self.preds.values() for p in preds]
+
+
+def table_to_markdown(tables: dict[str, dict[str, float]],
+                      keys=("ad_2", "ad_5", "ad_10", "rete_2", "rete_5",
+                            "re_2", "te_2", "proj_2", "proj_5", "re", "te")
+                      ) -> str:
+    """Render the per-object metric table (reference eval_result_to_markdown,
+    core/utils/utils.py:234)."""
+    lines = ["| obj | " + " | ".join(keys) + " |",
+             "|" + "----|" * (len(keys) + 1)]
+    for name, tab in tables.items():
+        vals = " | ".join(f"{tab.get(k, 0.0):.2f}" for k in keys)
+        lines.append(f"| {name} | {vals} |")
+    return "\n".join(lines)
+
+
+def run_inference(eval_step: Callable, state, batches: Iterable[dict],
+                  evaluator: PoseEvaluator, to_device=None) -> PoseEvaluator:
+    """gdrn_inference_on_dataset parity: loop, time per batch, feed evaluator."""
+    for batch in batches:
+        db = {k: jnp.asarray(v) for k, v in batch.items()
+              if k not in ("_valid",)} if to_device is None else to_device(batch)
+        t0 = time.perf_counter()
+        out = eval_step(state, db)
+        out = jax.tree.map(np.asarray, out)
+        dt = time.perf_counter() - t0
+        out["time"] = dt / max(len(next(iter(batch.values()))), 1)
+        evaluator.process(batch, out)
+    return evaluator
+
+
+# ---------------------------------------------------------------------------
+# PnP post-processing (host, test-time)
+# ---------------------------------------------------------------------------
+
+def pnp_from_xyz_mask(coor: np.ndarray, mask_prob: np.ndarray,
+                      extents: np.ndarray, roi_center: np.ndarray,
+                      roi_wh_crop: float, K: np.ndarray,
+                      mask_thresh: float = 0.5, min_pts: int = 8,
+                      ransac: bool = True):
+    """Predicted xyz map + mask -> 2D-3D correspondences -> cv2 PnP.
+
+    Parity: gdrn_evaluator.py:102-141 (get_img_model_points_with_coords2d)
+    + misc.py pnp_v2. coor (o,o,3) normalized [0,1]; mask_prob (o,o).
+    Returns (R (3,3), t (3,)) or None."""
+    import cv2
+    o = coor.shape[0]
+    sel = mask_prob > mask_thresh
+    if sel.sum() < min_pts:
+        return None
+    ys, xs = np.nonzero(sel)
+    obj_pts = (coor[ys, xs] - 0.5) * extents          # (N,3) model frame
+    # crop pixel -> full-image pixel
+    scale = roi_wh_crop / o
+    x1 = roi_center[0] - roi_wh_crop / 2
+    y1 = roi_center[1] - roi_wh_crop / 2
+    img_pts = np.stack([x1 + (xs + 0.5) * scale,
+                        y1 + (ys + 0.5) * scale], axis=1).astype(np.float64)
+    try:
+        if ransac:
+            ok, rvec, tvec, _ = cv2.solvePnPRansac(
+                obj_pts.astype(np.float64), img_pts, K.astype(np.float64),
+                None, reprojectionError=3.0, iterationsCount=100,
+                flags=cv2.SOLVEPNP_EPNP)
+        else:
+            ok, rvec, tvec = cv2.solvePnP(
+                obj_pts.astype(np.float64), img_pts, K.astype(np.float64),
+                None, flags=cv2.SOLVEPNP_ITERATIVE)
+    except cv2.error:
+        return None
+    if not ok:
+        return None
+    R, _ = cv2.Rodrigues(rvec)
+    return R.astype(np.float32), tvec.reshape(3).astype(np.float32)
