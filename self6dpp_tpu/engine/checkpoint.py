@@ -1,0 +1,111 @@
+"""Orbax-based checkpointing of the TrainState.
+
+Parity target: core/utils/my_checkpoint.py (MyCheckpointer: model + optimizer
++ scheduler + iteration; resume_or_load), PeriodicCheckpointer with
+MAX_TO_KEEP (engine.py:296-303). Stage-II additionally checkpoints the EMA
+teacher as the canonical weights (self_engine.py:310-314) — here the EMA is
+part of the state PyTree so it persists automatically.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .train_state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 2,
+                 save_period: int = 5000):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.save_period = save_period
+        self.mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True),
+        )
+
+    def save(self, state: TrainState, step: int | None = None,
+             force: bool = False) -> bool:
+        step = int(state.step) if step is None else step
+        if not force and self.save_period > 0 and step % self.save_period != 0:
+            return False
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params,
+            "step": np.asarray(step),
+        }
+        payload = {k: v for k, v in payload.items() if v is not None}
+        self.mgr.save(step, args=ocp.args.StandardSave(payload))
+        self.mgr.wait_until_finished()
+        return True
+
+    def latest_step(self) -> int | None:
+        return self.mgr.latest_step()
+
+    def restore(self, state: TrainState, step: int | None = None) -> TrainState:
+        """resume_or_load parity: restore into an existing (abstract) state."""
+        step = step if step is not None else self.latest_step()
+        assert step is not None, "no checkpoint found"
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(0),
+        }
+        if state.ema_params is not None:
+            template["ema_params"] = state.ema_params
+        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return state.replace(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", state.batch_stats),
+            opt_state=restored["opt_state"],
+            ema_params=restored.get("ema_params", state.ema_params),
+            step=jax.numpy.asarray(int(restored["step"])),
+        )
+
+    def resume_or_load(self, state: TrainState, resume: bool = True
+                       ) -> tuple[TrainState, int]:
+        """Returns (state, start_iteration)."""
+        step = self.latest_step()
+        if resume and step is not None:
+            return self.restore(state, step), step
+        return state, 0
+
+
+def save_params_npz(path: str, params: Any) -> None:
+    """Flat .npz export (for weight exchange / inspection)."""
+    flat = {}
+
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}{k}." if prefix else f"{k}.")
+        else:
+            flat[prefix[:-1]] = np.asarray(tree)
+
+    walk(params)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str, template: Any) -> Any:
+    """Load a flat .npz into the structure of `template` (names must match)."""
+    raw = dict(np.load(path))
+
+    def build(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: build(v, f"{prefix}{k}." if prefix else f"{k}.")
+                    for k, v in tree.items()}
+        key = prefix[:-1]
+        assert key in raw, f"missing param {key}"
+        return jax.numpy.asarray(raw[key])
+
+    return build(template)

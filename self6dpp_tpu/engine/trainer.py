@@ -1,0 +1,71 @@
+"""Generic training loop (the reference's do_train skeleton,
+core/gdrn_modeling/engine/engine.py:204-520, without the detectron2
+machinery): iterate batches, jitted step, periodic checkpoint / eval / log.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+
+from ..config.base import Config
+from .checkpoint import CheckpointManager
+from .train_state import TrainState
+from .writers import EventStorage, JSONWriter, TerminalWriter
+
+logger = logging.getLogger("self6dpp_tpu")
+
+
+def do_train(
+    cfg: Config,
+    state: TrainState,
+    train_step: Callable,
+    batches: Iterator[dict],
+    to_device: Callable[[dict], dict],
+    eval_fn: Callable[[TrainState], dict] | None = None,
+    resume: bool = True,
+) -> TrainState:
+    ckpt = CheckpointManager(
+        f"{cfg.output_dir}/{cfg.exp_name}/ckpt",
+        max_to_keep=cfg.ckpt_max_to_keep, save_period=cfg.ckpt_period)
+    state, start_iter = ckpt.resume_or_load(state, resume=resume)
+    if start_iter > 0:
+        logger.info(f"resumed from iteration {start_iter}")
+
+    storage = EventStorage()
+    writers = [
+        TerminalWriter(storage, cfg.solver.total_iters, cfg.log_period),
+        JSONWriter(storage,
+                   f"{cfg.output_dir}/{cfg.exp_name}/metrics.json",
+                   cfg.log_period),
+    ]
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    for it in range(start_iter, cfg.solver.total_iters):
+        batch = to_device(next(batches))
+        rng, step_rng = jax.random.split(rng)
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, batch, step_rng)
+        total = float(metrics["total_loss"])
+        # finite-loss guard (reference engine.py:404 assert isfinite)
+        if not np.isfinite(total):
+            logger.error(f"non-finite loss at iter {it}: {metrics}")
+            raise FloatingPointError(f"loss diverged at iter {it}")
+        storage.iter = it + 1
+        storage.put_scalars(
+            time_per_iter=time.perf_counter() - t0,
+            **{k: float(v) for k, v in metrics.items()})
+        for w in writers:
+            w.write()
+        ckpt.save(state, step=it + 1)
+        if (eval_fn is not None and cfg.test.eval_period > 0
+                and (it + 1) % cfg.test.eval_period == 0):
+            tables = eval_fn(state)
+            logger.info(f"eval @ {it + 1}: {tables.get('avg', tables)}")
+
+    ckpt.save(state, force=True)
+    return state

@@ -1,0 +1,112 @@
+"""Config system, checkpoint manager, writers."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from self6dpp_tpu.config.base import (Config, SolverConfig, apply_overrides,
+                                      load_config)
+from self6dpp_tpu.engine.checkpoint import (CheckpointManager,
+                                            load_params_npz, save_params_npz)
+from self6dpp_tpu.engine.optim import build_optimizer
+from self6dpp_tpu.engine.train_state import create_train_state
+from self6dpp_tpu.engine.writers import EventStorage, JSONWriter
+
+
+class TestConfig:
+    def test_load_example_config(self):
+        cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                       "configs", "gdrn", "lm_base.py"))
+        assert cfg.model.num_classes == 13
+        assert cfg.model.backbone.name == "resnest50d"
+        assert cfg.solver.optimizer == "ranger"
+
+    def test_overrides(self):
+        cfg = Config()
+        cfg2 = apply_overrides(cfg, ["solver.base_lr=0.01",
+                                     "model.num_classes=5",
+                                     "data.color_aug_prob=0.3",
+                                     "model.backbone.name=resnet18"])
+        assert cfg2.solver.base_lr == 0.01
+        assert cfg2.model.num_classes == 5
+        assert cfg2.model.backbone.name == "resnet18"
+        # original untouched (frozen dataclasses)
+        assert cfg.solver.base_lr != 0.01
+
+    def test_unknown_key_rejected(self):
+        with pytest.raises(AssertionError):
+            apply_overrides(Config(), ["solver.nonexistent=1"])
+
+
+def _mini_state():
+    params = {"dense": {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}}
+    tx, _ = build_optimizer(SolverConfig(optimizer="adam", total_iters=10,
+                                         warmup_iters=0))
+    return create_train_state(params, {}, tx, with_ema=True)
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        state = _mini_state()
+        grads = jax.tree.map(jnp.ones_like, state.params)
+        state = state.apply_gradients(grads).update_ema()
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), save_period=1)
+        assert mgr.save(state)
+        state2 = _mini_state()
+        restored, start = mgr.resume_or_load(state2, resume=True)
+        assert start == 1
+        np.testing.assert_allclose(np.asarray(restored.params["dense"]["w"]),
+                                   np.asarray(state.params["dense"]["w"]))
+        np.testing.assert_allclose(np.asarray(restored.ema_params["dense"]["w"]),
+                                   np.asarray(state.ema_params["dense"]["w"]))
+        # optimizer state restored too
+        assert int(restored.step) == 1
+
+    def test_no_resume_returns_fresh(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        state, start = mgr.resume_or_load(_mini_state(), resume=True)
+        assert start == 0
+
+    def test_max_to_keep(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2,
+                                save_period=1)
+        state = _mini_state()
+        for i in range(4):
+            grads = jax.tree.map(jnp.ones_like, state.params)
+            state = state.apply_gradients(grads)
+            mgr.save(state)
+        assert mgr.latest_step() == 4
+        steps = mgr.mgr.all_steps()
+        assert len(steps) <= 2
+
+    def test_npz_roundtrip(self, tmp_path):
+        params = {"a": {"w": jnp.arange(6.0).reshape(2, 3)}, "b": jnp.ones(2)}
+        p = str(tmp_path / "p.npz")
+        save_params_npz(p, params)
+        loaded = load_params_npz(p, params)
+        np.testing.assert_allclose(np.asarray(loaded["a"]["w"]),
+                                   np.asarray(params["a"]["w"]))
+
+
+class TestWriters:
+    def test_json_writer(self, tmp_path):
+        st = EventStorage()
+        path = str(tmp_path / "metrics.json")
+        w = JSONWriter(st, path, log_period=2)
+        for i in range(1, 5):
+            st.iter = i
+            st.put_scalars(loss=1.0 / i)
+            w.write()
+        import json
+        rows = [json.loads(l) for l in open(path)]
+        assert [r["iteration"] for r in rows] == [2, 4]
+
+    def test_median_smoothing(self):
+        st = EventStorage(window=3)
+        for v in [1.0, 100.0, 2.0]:
+            st.put_scalars(x=v)
+        assert st.median("x") == 2.0
