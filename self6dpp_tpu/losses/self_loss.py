@@ -87,6 +87,45 @@ def norm_loss(pred_n: Array, gt_n: Array, mask: Array) -> Array:
     return l1 + cos_term
 
 
+def compute_self_loss_geo(
+    cfg: SelfSupConfig,
+    pred: dict[str, Array],          # student geo outputs (geo forward mode)
+    pseudo: dict[str, Array],        # teacher pseudo labels (same ROI frame)
+    mask_prob_fn=None,               # logits -> prob for mask heads
+) -> dict[str, Array]:
+    """Geo-mode losses: student dense geometry vs teacher pseudo labels
+    (compute_self_loss_geo, self_engine_utils.py:129-340): vis/full mask
+    RW_BCE, xyz smooth-L1, region L1, VF/normal."""
+    loss: dict[str, Array] = {}
+    vis_lr = pseudo["vis_mask_lr"]
+
+    if cfg.mask_lw > 0 and mask_prob_fn is not None:
+        p = mask_prob_fn(pred["mask_logits"][..., :1])[..., 0]
+        loss["loss_vis_mask_init_pred"] = cfg.mask_lw * \
+            weighted_ex_loss_probs(jnp.clip(p, 1e-7, 1 - 1e-7), vis_lr)
+        if pred["mask_logits"].shape[-1] >= 2 and "full_mask_lr" in pseudo:
+            pf = mask_prob_fn(pred["mask_logits"][..., 1:2])[..., 0]
+            loss["loss_full_mask_init_pred"] = cfg.mask_lw * \
+                weighted_ex_loss_probs(jnp.clip(pf, 1e-7, 1 - 1e-7),
+                                       pseudo["full_mask_lr"])
+
+    if "coor" in pred and "coor" in pseudo:
+        m = vis_lr[..., None]
+        denom = jnp.maximum(m.sum(), 1.0)
+        loss["loss_init_pred_xyz"] = (
+            jnp.abs(pred["coor"] - pseudo["coor"]) * m).sum() / (denom * 3)
+    if "region_logits" in pred and "region" in pseudo:
+        pr = jax.nn.softmax(pred["region_logits"], axis=-1)
+        loss["loss_region_init_pred"] = (
+            jnp.abs(pr - pseudo["region"]) * vis_lr[..., None]).mean()
+    if cfg.vf_lw > 0 and "vf" in pred and "vf" in pseudo:
+        loss["loss_vf"] = cfg.vf_lw * vf_loss(pred["vf"], pseudo["vf"], vis_lr)
+    if cfg.norm_lw > 0 and "norm" in pred and "norm" in pseudo:
+        loss["loss_norm"] = cfg.norm_lw * norm_loss(pred["norm"],
+                                                    pseudo["norm"], vis_lr)
+    return loss
+
+
 def compute_self_loss_pose(
     cfg: SelfSupConfig,
     ren: dict[str, Array],           # rendered at student pose, ROI frame:
