@@ -1,0 +1,91 @@
+"""DeepIM refiner train/test CLI (reference core/deepim/main_deepim.py +
+train_deepim.sh/test_deepim.sh)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--init-pose-file", default="",
+                   help="json with pose_est initial poses for test")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--opts", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from self6dpp_tpu.config.base import apply_overrides, load_config
+    from self6dpp_tpu.engine import deepim_engine as de
+    from self6dpp_tpu.engine.trainer import do_train
+    from self6dpp_tpu.engine.writers import setup_logger
+    from tools.train_gdrn import build_dataset
+
+    cfg = apply_overrides(load_config(args.config), args.opts)
+    logger = setup_logger(os.path.join(cfg.output_dir, cfg.exp_name))
+
+    ds, models, meta = build_dataset(cfg, train=not args.eval_only)
+    model = de.build_deepim(cfg)
+    rng_np = np.random.default_rng(cfg.seed)
+
+    def to_device(batch):
+        db = {k: jnp.asarray(v) for k, v in batch.items() if k != "_valid"}
+        db["verts"] = jnp.asarray(models.verts)[db["roi_cls"]]
+        db["faces"] = jnp.asarray(models.faces)[db["roi_cls"]]
+        db["colors"] = jnp.asarray(models.colors)[db["roi_cls"]]
+        db["K"] = db["roi_cam"]
+        db["obs_img"] = db.pop("roi_img")
+        db["obs_box"] = jnp.concatenate(
+            [db["roi_center"] - db["roi_wh"] / 2,
+             db["roi_center"] + db["roi_wh"] / 2], axis=1)
+        return db
+
+    def simple_batches():
+        """init pose = gt + noise (gt_noise scheme, deepim_base.py:38-62:
+        15deg rot, (1,1,5)cm trans std)."""
+        for raw in ds.batches(cfg.solver.ims_per_batch):
+            n = len(raw["gt_rot"])
+            from scipy.spatial.transform import Rotation
+            dR = Rotation.from_euler(
+                "xyz", rng_np.normal(0, 15, (n, 3)), degrees=True).as_matrix()
+            raw["init_rot"] = (dR @ raw["gt_rot"]).astype(np.float32)
+            raw["init_trans"] = (raw["gt_trans"] + rng_np.normal(
+                0, [0.01, 0.01, 0.05], (n, 3))).astype(np.float32)
+            yield raw
+
+    batches = simple_batches()
+    batch0 = to_device(next(batches))
+    state = de.init_state(cfg, model, batch0)
+
+    if args.eval_only:
+        from self6dpp_tpu.engine.checkpoint import CheckpointManager
+        from self6dpp_tpu.engine.evaluator import (PoseEvaluator,
+                                                   run_inference,
+                                                   table_to_markdown)
+        ckpt = CheckpointManager(f"{cfg.output_dir}/{cfg.exp_name}/ckpt")
+        state, _ = ckpt.resume_or_load(state, resume=True)
+        step = jax.jit(de.make_eval_step(cfg, model))
+        ev = PoseEvaluator(models, meta)
+        run_inference(step, state, simple_batches(), ev,
+                      to_device=to_device)
+        print(table_to_markdown(ev.evaluate()))
+        return
+
+    step = jax.jit(de.make_train_step(cfg, model), donate_argnums=(0,))
+    do_train(cfg, state, step, batches, to_device, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()
