@@ -173,7 +173,8 @@ class GDRNDataset:
             jnp.asarray(self.models.faces[cls_idx]),
             jnp.asarray(self.models.verts[cls_idx]),
             jnp.asarray(Kz), jnp.asarray(R), jnp.asarray(t),
-            height=out_res, width=out_res, tile_px=8, faces_per_tile=64)
+            height=out_res, width=out_res, tile_px=8, faces_per_tile=64,
+            with_prob=False)
         return np.asarray(out.attr), np.asarray(out.mask)
 
     # ------------------------------------------------------------------

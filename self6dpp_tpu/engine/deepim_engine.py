@@ -69,7 +69,7 @@ def make_refine_fn(cfg: Config, model: DeepIM, n_iter: int,
     dcfg = cfg.deepim
     rkw = dict(tile_px=cfg.renderer.tile_px,
                faces_per_tile=min(cfg.renderer.max_faces, 128),
-               sigma_px=1.0)
+               sigma_px=1.0, with_prob=False)  # DeepIM needs hard renders only
     if raster_kw:
         rkw.update(raster_kw)
 

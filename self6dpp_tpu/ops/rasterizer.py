@@ -98,120 +98,91 @@ def _bin_faces(v2d_f: Array, valid_f: Array, height: int, width: int,
     return cand
 
 
-_CAND_CHUNK = 16
-
-
 def _raster_tile(tile_idx: Array, cand: Array, v2d_f: Array, zmean_f: Array,
                  zinv_f: Array, attr_f: Array, valid_f: Array,
                  height: int, width: int, tile_px: int, sigma_px: float,
-                 zbuf_mode: str):
+                 zbuf_mode: str, with_prob: bool = True):
     """Rasterize one tile. cand: (K,) face ids (-1 empty). Returns per-pixel
     outputs of shape (tile_px, tile_px, ...).
 
-    The candidate loop is a lax.scan over chunks with running z-buffer /
-    prob-product accumulators — peak memory per tile is (tp², chunk) instead
-    of (tp², K), which keeps the whole op VMEM-resident on TPU (the naive
-    formulation was HBM-bandwidth-bound).
+    TPU notes: pixels are flattened to P=tp² and all winner selection is a
+    one-hot (P, K) matmul instead of gathers — forward runs on the MXU and
+    the *backward* of a matmul is a matmul (the gather formulation backs
+    into serialized scatter-adds). K should be 128 to fill the lanes.
     """
     K = cand.shape[0]
     D = attr_f.shape[-1]
+    tp = tile_px
+    P = tp * tp
     tw = -(-width // tile_px)
     ty = (tile_idx // tw) * tile_px
     tx = (tile_idx % tw) * tile_px
-    py = ty + jnp.arange(tile_px)
-    px = tx + jnp.arange(tile_px)
-    # pixel centers at integer coords (EGL/OpenCV convention: pixel (i,j)
-    # center at (j, i))
-    pu = px.astype(jnp.float32)[None, :, None]                    # (1,tp,1)
-    pv = py.astype(jnp.float32)[:, None, None]                    # (tp,1,1)
+    # pixel centers at integer coords (EGL/OpenCV convention), flattened P
+    pv_ = (ty + jnp.arange(tp).repeat(tp)).astype(jnp.float32)[:, None]
+    pu_ = (tx + jnp.tile(jnp.arange(tp), tp)).astype(jnp.float32)[:, None]
 
     safe = jnp.maximum(cand, 0)
     cv2d = v2d_f[safe]                                            # (K,3,2)
     czme = zmean_f[safe]                                          # (K,)
     czin = zinv_f[safe]                                           # (K,3)
-    catt = attr_f[safe]                                           # (K,3,D)
+    catt = attr_f[safe].reshape(K, 3 * D)                         # (K,3D)
     cval = valid_f[safe] & (cand >= 0)                            # (K,)
-    cidx = jnp.where(cand >= 0, cand, -1)
 
-    C = _CAND_CHUNK
-    nch = max(K // C, 1)
-    # reshape into chunks for scan
-    cv2d_c = cv2d[: nch * C].reshape(nch, C, 3, 2)
-    czme_c = czme[: nch * C].reshape(nch, C)
-    czin_c = czin[: nch * C].reshape(nch, C, 3)
-    catt_c = catt[: nch * C].reshape(nch, C, 3, D)
-    cval_c = cval[: nch * C].reshape(nch, C)
-    cidx_c = cidx[: nch * C].reshape(nch, C)
+    x0, y0 = cv2d[:, 0, 0][None], cv2d[:, 0, 1][None]             # (1,K)
+    x1, y1 = cv2d[:, 1, 0][None], cv2d[:, 1, 1][None]
+    x2, y2 = cv2d[:, 2, 0][None], cv2d[:, 2, 1][None]
+    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)          # (1,K)
+    inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
 
-    tp = tile_px
-    init = (
-        jnp.full((tp, tp), jnp.inf),            # best z
-        jnp.zeros((tp, tp), jnp.bool_),         # covered
-        jnp.zeros((tp, tp, D)),                 # attr of winner
-        jnp.zeros((tp, tp)),                    # depth of winner
-        jnp.full((tp, tp), -1, jnp.int32),      # face id
-        jnp.zeros((tp, tp, 3)),                 # bary of winner
-        jnp.ones((tp, tp)),                     # prod(1 - p_face)
-    )
+    # edge functions -> barycentrics (w0 at v0, etc.), (P, K)
+    w0 = ((x1 - pu_) * (y2 - pv_) - (x2 - pu_) * (y1 - pv_)) * inv_area
+    w1 = ((x2 - pu_) * (y0 - pv_) - (x0 - pu_) * (y2 - pv_)) * inv_area
+    w2 = 1.0 - w0 - w1
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & cval[None, :]
 
-    def body(carry, chunk):
-        bz, cov, acc_attr, acc_depth, acc_fid, acc_bary, pprod = carry
-        cv, cz, ci, ca, cm, cf = chunk
-        x0, y0 = cv[:, 0, 0], cv[:, 0, 1]
-        x1, y1 = cv[:, 1, 0], cv[:, 1, 1]
-        x2, y2 = cv[:, 2, 0], cv[:, 2, 1]
-        area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)      # (C,)
-        inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+    # depth test on per-face mean z (DIB-R parity); closest (min z) wins
+    zkey = jnp.where(inside, czme[None, :], jnp.inf)
+    best = jnp.argmin(zkey, axis=-1)                              # (P,)
+    onehot = jax.lax.stop_gradient(
+        (best[:, None] == jnp.arange(K)[None, :]).astype(w0.dtype))  # (P,K)
+    covered = (onehot * inside).sum(-1) > 0                       # (P,)
 
-        w0 = ((x1 - pu) * (y2 - pv) - (x2 - pu) * (y1 - pv)) * inv_area
-        w1 = ((x2 - pu) * (y0 - pv) - (x0 - pu) * (y2 - pv)) * inv_area
-        w2 = 1.0 - w0 - w1                                        # (tp,tp,C)
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & cm[None, None, :]
+    sel = lambda a: (onehot * a).sum(-1)                          # (P,K)->(P,)
+    bary = jnp.stack([sel(w0), sel(w1), sel(w2)], axis=-1)        # (P,3)
+    bary = jnp.clip(bary, 0.0, 1.0)
+    bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-8)
 
-        zkey = jnp.where(inside, cz[None, None, :], jnp.inf)
-        best = jnp.argmin(zkey, axis=-1)                          # (tp,tp)
-        bz_new = jnp.take_along_axis(zkey, best[..., None], -1)[..., 0]
-        win = bz_new < bz                                         # closer face
+    watt = (onehot @ catt).reshape(P, 3, D)                       # MXU
+    if zbuf_mode == "persp":
+        winv = onehot @ czin                                      # (P,3)
+        pw = bary * winv
+        pw = pw / jnp.maximum(pw.sum(-1, keepdims=True), 1e-12)
+        attr = (watt * pw[..., None]).sum(-2)
+        depth = 1.0 / jnp.maximum((bary * winv).sum(-1), 1e-12)
+    else:
+        attr = (watt * bary[..., None]).sum(-2)
+        depth = sel(jnp.where(inside, czme[None, :], 0.0))
 
-        take = lambda a: jnp.take_along_axis(a, best[..., None], -1)[..., 0]
-        bary = jnp.stack([take(w0), take(w1), take(w2)], axis=-1)
-        bary = jnp.clip(bary, 0.0, 1.0)
-        bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-8)
-
-        watt = ca[best]                                           # (tp,tp,3,D)
-        if zbuf_mode == "persp":
-            winv = ci[best]                                       # (tp,tp,3)
-            pw = bary * winv
-            pw = pw / jnp.maximum(pw.sum(-1, keepdims=True), 1e-12)
-            attr = (watt * pw[..., None]).sum(-2)
-            depth = 1.0 / jnp.maximum((bary * winv).sum(-1), 1e-12)
-        else:
-            attr = (watt * bary[..., None]).sum(-2)
-            depth = take(jnp.where(inside, cz[None, None, :], 0.0))
-
-        cov = cov | win
-        acc_attr = jnp.where(win[..., None], attr, acc_attr)
-        acc_depth = jnp.where(win, depth, acc_depth)
-        acc_fid = jnp.where(win, cf[best], acc_fid)
-        acc_bary = jnp.where(win[..., None], bary, acc_bary)
-        bz = jnp.minimum(bz, bz_new)
-
-        d2 = _point_tri_dist2(pu, pv, x0, y0, x1, y1, x2, y2)     # (tp,tp,C)
-        p_face = jnp.where(inside, 1.0, jnp.exp(-d2 / (sigma_px ** 2)))
-        p_face = jnp.where(cm[None, None, :], p_face, 0.0)
-        pprod = pprod * jnp.prod(1.0 - p_face, axis=-1)
-
-        return (bz, cov, acc_attr, acc_depth, acc_fid, acc_bary, pprod), None
-
-    (bz, cov, attr, depth, fid, bary, pprod), _ = jax.lax.scan(
-        body, init, (cv2d_c, czme_c, czin_c, catt_c, cval_c, cidx_c))
-
-    covered = cov
     attr = jnp.where(covered[..., None], attr, 0.0)
     depth = jnp.where(covered, depth, 0.0)
-    face_id = jnp.where(covered, fid, -1)
-    prob = 1.0 - pprod
-    return covered.astype(jnp.float32), prob, depth, attr, face_id, bary
+    face_id = jnp.where(covered,
+                        (onehot * cand[None, :]).sum(-1).astype(jnp.int32), -1)
+
+    # ---- soft silhouette prob (DIB-R semantics) -------------------------
+    # inside a face: contribution 1; outside: exp(-d²/σ²) with d = squared
+    # pixel distance to the face (distance to the nearest edge segment).
+    # Aggregate: 1 - prod(1 - p_k). Skipped entirely for hard-only renders.
+    if with_prob:
+        d2 = _point_tri_dist2(pu_, pv_, x0, y0, x1, y1, x2, y2)   # (P,K)
+        p_face = jnp.where(inside, 1.0, jnp.exp(-d2 / (sigma_px ** 2)))
+        p_face = jnp.where(cval[None, :], p_face, 0.0)
+        prob = 1.0 - jnp.prod(1.0 - p_face, axis=-1)
+    else:
+        prob = covered.astype(jnp.float32)
+
+    rs = lambda a: a.reshape((tp, tp) + a.shape[1:])
+    return (rs(covered.astype(jnp.float32)), rs(prob), rs(depth), rs(attr),
+            rs(face_id), rs(bary))
 
 
 def _point_seg_dist2(pu, pv, ax, ay, bx, by):
@@ -233,7 +204,7 @@ def _point_tri_dist2(pu, pv, x0, y0, x1, y1, x2, y2):
 
 @partial(jax.jit, static_argnames=("height", "width", "tile_px",
                                   "faces_per_tile", "sigma_px", "zbuf_mode",
-                                  "cull_backfaces"))
+                                  "cull_backfaces", "with_prob"))
 def rasterize_single(
     verts: Array,            # (V, 3) object-frame vertices
     faces: Array,            # (F, 3) int32 (padded with 0s for degenerate)
@@ -242,7 +213,7 @@ def rasterize_single(
     height: int = 64, width: int = 64,
     tile_px: int = 16, faces_per_tile: int = 128,
     sigma_px: float = 1.0, zbuf_mode: str = "persp",
-    cull_backfaces: bool = True,
+    cull_backfaces: bool = True, with_prob: bool = True,
 ) -> RasterOut:
     """Rasterize one mesh under one pose. vmap over a batch axis for batches."""
     v2d, z = project_mesh(verts, K, R, t)
@@ -271,7 +242,8 @@ def rasterize_single(
     raster = partial(_raster_tile, v2d_f=v2d_f, zmean_f=zmean_f,
                      zinv_f=zinv_f, attr_f=attr_f, valid_f=valid_f,
                      height=height, width=width, tile_px=tile_px,
-                     sigma_px=sigma_px, zbuf_mode=zbuf_mode)
+                     sigma_px=sigma_px, zbuf_mode=zbuf_mode,
+                     with_prob=with_prob)
     mask, prob, depth, attr, face_id, bary = jax.vmap(raster)(tiles, cand)
 
     th = -(-height // tile_px)
