@@ -103,86 +103,81 @@ def _raster_tile(tile_idx: Array, cand: Array, v2d_f: Array, zmean_f: Array,
                  height: int, width: int, tile_px: int, sigma_px: float,
                  zbuf_mode: str, with_prob: bool = True):
     """Rasterize one tile. cand: (K,) face ids (-1 empty). Returns per-pixel
-    outputs of shape (tile_px, tile_px, ...).
-
-    TPU notes: pixels are flattened to P=tp² and all winner selection is a
-    one-hot (P, K) matmul instead of gathers — forward runs on the MXU and
-    the *backward* of a matmul is a matmul (the gather formulation backs
-    into serialized scatter-adds). K should be 128 to fill the lanes.
-    """
+    outputs of shape (tile_px, tile_px, ...). K=128 fills the TPU lanes."""
     K = cand.shape[0]
-    D = attr_f.shape[-1]
-    tp = tile_px
-    P = tp * tp
     tw = -(-width // tile_px)
     ty = (tile_idx // tw) * tile_px
     tx = (tile_idx % tw) * tile_px
-    # pixel centers at integer coords (EGL/OpenCV convention), flattened P
-    pv_ = (ty + jnp.arange(tp).repeat(tp)).astype(jnp.float32)[:, None]
-    pu_ = (tx + jnp.tile(jnp.arange(tp), tp)).astype(jnp.float32)[:, None]
+    py = ty + jnp.arange(tile_px)
+    px = tx + jnp.arange(tile_px)
+    # pixel centers at integer coords (EGL/OpenCV convention: pixel (i,j)
+    # center at (j, i))
+    pu = px.astype(jnp.float32)[None, :, None]                    # (1,tp,1)
+    pv = py.astype(jnp.float32)[:, None, None]                    # (tp,1,1)
 
     safe = jnp.maximum(cand, 0)
     cv2d = v2d_f[safe]                                            # (K,3,2)
     czme = zmean_f[safe]                                          # (K,)
     czin = zinv_f[safe]                                           # (K,3)
-    catt = attr_f[safe].reshape(K, 3 * D)                         # (K,3D)
+    catt = attr_f[safe]                                           # (K,3,D)
     cval = valid_f[safe] & (cand >= 0)                            # (K,)
 
-    x0, y0 = cv2d[:, 0, 0][None], cv2d[:, 0, 1][None]             # (1,K)
-    x1, y1 = cv2d[:, 1, 0][None], cv2d[:, 1, 1][None]
-    x2, y2 = cv2d[:, 2, 0][None], cv2d[:, 2, 1][None]
-    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)          # (1,K)
+    x0, y0 = cv2d[:, 0, 0], cv2d[:, 0, 1]
+    x1, y1 = cv2d[:, 1, 0], cv2d[:, 1, 1]
+    x2, y2 = cv2d[:, 2, 0], cv2d[:, 2, 1]
+    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)          # (K,)
     inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
 
-    # edge functions -> barycentrics (w0 at v0, etc.), (P, K)
-    w0 = ((x1 - pu_) * (y2 - pv_) - (x2 - pu_) * (y1 - pv_)) * inv_area
-    w1 = ((x2 - pu_) * (y0 - pv_) - (x0 - pu_) * (y2 - pv_)) * inv_area
-    w2 = 1.0 - w0 - w1
-    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & cval[None, :]
+    # edge functions -> barycentrics (w0 at v0, etc.)
+    w0 = ((x1 - pu) * (y2 - pv) - (x2 - pu) * (y1 - pv)) * inv_area
+    w1 = ((x2 - pu) * (y0 - pv) - (x0 - pu) * (y2 - pv)) * inv_area
+    w2 = 1.0 - w0 - w1                                            # (tp,tp,K)
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & cval[None, None, :]
 
     # depth test on per-face mean z (DIB-R parity); closest (min z) wins
-    zkey = jnp.where(inside, czme[None, :], jnp.inf)
-    best = jnp.argmin(zkey, axis=-1)                              # (P,)
-    onehot = jax.lax.stop_gradient(
-        (best[:, None] == jnp.arange(K)[None, :]).astype(w0.dtype))  # (P,K)
-    covered = (onehot * inside).sum(-1) > 0                       # (P,)
+    zkey = jnp.where(inside, czme[None, None, :], jnp.inf)
+    best = jnp.argmin(zkey, axis=-1)                              # (tp,tp)
+    covered = jnp.take_along_axis(inside, best[..., None], axis=-1)[..., 0]
 
-    sel = lambda a: (onehot * a).sum(-1)                          # (P,K)->(P,)
-    bary = jnp.stack([sel(w0), sel(w1), sel(w2)], axis=-1)        # (P,3)
+    bary = jnp.stack([
+        jnp.take_along_axis(w0, best[..., None], -1)[..., 0],
+        jnp.take_along_axis(w1, best[..., None], -1)[..., 0],
+        jnp.take_along_axis(w2, best[..., None], -1)[..., 0],
+    ], axis=-1)                                                   # (tp,tp,3)
     bary = jnp.clip(bary, 0.0, 1.0)
     bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-8)
 
-    watt = (onehot @ catt).reshape(P, 3, D)                       # MXU
+    watt = catt[best]                                             # (tp,tp,3,D)
     if zbuf_mode == "persp":
-        winv = onehot @ czin                                      # (P,3)
+        # perspective-correct interpolation via 1/z weights
+        winv = czin[best]                                         # (tp,tp,3)
         pw = bary * winv
         pw = pw / jnp.maximum(pw.sum(-1, keepdims=True), 1e-12)
         attr = (watt * pw[..., None]).sum(-2)
         depth = 1.0 / jnp.maximum((bary * winv).sum(-1), 1e-12)
     else:
         attr = (watt * bary[..., None]).sum(-2)
-        depth = sel(jnp.where(inside, czme[None, :], 0.0))
+        depth = jnp.take_along_axis(
+            jnp.where(inside, czme[None, None, :], 0.0), best[..., None], -1
+        )[..., 0]
 
     attr = jnp.where(covered[..., None], attr, 0.0)
     depth = jnp.where(covered, depth, 0.0)
-    face_id = jnp.where(covered,
-                        (onehot * cand[None, :]).sum(-1).astype(jnp.int32), -1)
+    face_id = jnp.where(covered, cand[best], -1)
 
     # ---- soft silhouette prob (DIB-R semantics) -------------------------
     # inside a face: contribution 1; outside: exp(-d²/σ²) with d = squared
     # pixel distance to the face (distance to the nearest edge segment).
     # Aggregate: 1 - prod(1 - p_k). Skipped entirely for hard-only renders.
     if with_prob:
-        d2 = _point_tri_dist2(pu_, pv_, x0, y0, x1, y1, x2, y2)   # (P,K)
+        d2 = _point_tri_dist2(pu, pv, x0, y0, x1, y1, x2, y2)     # (tp,tp,K)
         p_face = jnp.where(inside, 1.0, jnp.exp(-d2 / (sigma_px ** 2)))
-        p_face = jnp.where(cval[None, :], p_face, 0.0)
+        p_face = jnp.where(cval[None, None, :], p_face, 0.0)
         prob = 1.0 - jnp.prod(1.0 - p_face, axis=-1)
     else:
         prob = covered.astype(jnp.float32)
 
-    rs = lambda a: a.reshape((tp, tp) + a.shape[1:])
-    return (rs(covered.astype(jnp.float32)), rs(prob), rs(depth), rs(attr),
-            rs(face_id), rs(bary))
+    return covered.astype(jnp.float32), prob, depth, attr, face_id, bary
 
 
 def _point_seg_dist2(pu, pv, ax, ay, bx, by):
