@@ -197,9 +197,40 @@ def _point_tri_dist2(pu, pv, x0, y0, x1, y1, x2, y2):
     return jnp.minimum(jnp.minimum(d01, d12), d20)
 
 
+def _rasterize_fine_pallas(cand, v2d_f, zmean_f, zinv_f, attr_f, valid_f,
+                           height, width, tile_px, sigma_px, zbuf_mode,
+                           with_prob):
+    """Pallas fine stage: pre-gather candidate data, run the fused kernel
+    (ops/raster_pallas.py), reshape tiles back to the image."""
+    from .raster_pallas import fine_raster
+    th = -(-height // tile_px)
+    tw = -(-width // tile_px)
+    T, K = cand.shape
+    D = attr_f.shape[-1]
+    safe = jnp.maximum(cand, 0)
+    cv2d = v2d_f[safe].reshape(T, K, 6)
+    czme = zmean_f[safe][..., None]
+    cval = (valid_f[safe] & (cand >= 0)).astype(jnp.float32)[..., None]
+    cgeo = jnp.concatenate([cv2d, czme, cval], axis=-1)          # (T,K,8)
+    czin = zinv_f[safe]                                          # (T,K,3)
+    catt = attr_f[safe].reshape(T, K, 3 * D)
+    ti = jnp.arange(T, dtype=jnp.int32)
+    uv = jnp.stack([(ti // tw) * tile_px, (ti % tw) * tile_px], axis=-1)
+
+    mask, prob, depth, attr, best = fine_raster(
+        uv, cgeo, czin, catt, tile_px, D, sigma_px, with_prob,
+        zbuf_mode == "persp")
+    face_id = jnp.where(
+        best >= 0,
+        jnp.take_along_axis(cand, jnp.maximum(best, 0).reshape(T, -1),
+                            axis=1).reshape(best.shape), -1)
+    bary = jnp.zeros(best.shape + (3,), jnp.float32)   # not exposed by kernel
+    return mask, prob, depth, attr, face_id, bary
+
+
 @partial(jax.jit, static_argnames=("height", "width", "tile_px",
                                   "faces_per_tile", "sigma_px", "zbuf_mode",
-                                  "cull_backfaces", "with_prob"))
+                                  "cull_backfaces", "with_prob", "impl"))
 def rasterize_single(
     verts: Array,            # (V, 3) object-frame vertices
     faces: Array,            # (F, 3) int32 (padded with 0s for degenerate)
@@ -209,8 +240,12 @@ def rasterize_single(
     tile_px: int = 16, faces_per_tile: int = 128,
     sigma_px: float = 1.0, zbuf_mode: str = "persp",
     cull_backfaces: bool = True, with_prob: bool = True,
+    impl: str = "xla",
 ) -> RasterOut:
-    """Rasterize one mesh under one pose. vmap over a batch axis for batches."""
+    """Rasterize one mesh under one pose. vmap over a batch axis for batches.
+
+    impl: 'xla' (portable, autodiff) or 'pallas' (fused TPU kernel with
+    analytic VJP — ops/raster_pallas.py)."""
     v2d, z = project_mesh(verts, K, R, t)
     v2d_f = _face_gather(v2d, faces)                              # (F,3,2)
     z_f = _face_gather(z, faces)                                  # (F,3)
@@ -233,13 +268,18 @@ def rasterize_single(
 
     cand = _bin_faces(v2d_f, valid_f, height, width, tile_px, faces_per_tile)
 
-    tiles = jnp.arange(cand.shape[0], dtype=jnp.int32)
-    raster = partial(_raster_tile, v2d_f=v2d_f, zmean_f=zmean_f,
-                     zinv_f=zinv_f, attr_f=attr_f, valid_f=valid_f,
-                     height=height, width=width, tile_px=tile_px,
-                     sigma_px=sigma_px, zbuf_mode=zbuf_mode,
-                     with_prob=with_prob)
-    mask, prob, depth, attr, face_id, bary = jax.vmap(raster)(tiles, cand)
+    if impl == "pallas":
+        mask, prob, depth, attr, face_id, bary = _rasterize_fine_pallas(
+            cand, v2d_f, zmean_f, zinv_f, attr_f, valid_f, height, width,
+            tile_px, sigma_px, zbuf_mode, with_prob)
+    else:
+        tiles = jnp.arange(cand.shape[0], dtype=jnp.int32)
+        raster = partial(_raster_tile, v2d_f=v2d_f, zmean_f=zmean_f,
+                         zinv_f=zinv_f, attr_f=attr_f, valid_f=valid_f,
+                         height=height, width=width, tile_px=tile_px,
+                         sigma_px=sigma_px, zbuf_mode=zbuf_mode,
+                         with_prob=with_prob)
+        mask, prob, depth, attr, face_id, bary = jax.vmap(raster)(tiles, cand)
 
     th = -(-height // tile_px)
     tw = -(-width // tile_px)
