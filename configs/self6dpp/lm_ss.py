@@ -1,0 +1,35 @@
+"""Self6D++ Stage-II self-supervised config for LINEMOD, mirroring
+configs/self6dpp/ssLM/ss_v1_dibr_mlBCE_FreezeBN_woCenter_refinePM10
+(mask RW_BCE + edge weights, LPIPS 0.15, MS-SSIM, pseudo-PM 10, Ranger,
+frozen BN; reference expected metrics at BASELINE.md)."""
+
+import dataclasses
+
+from configs.gdrn.lm_base import get_config as base_config
+from self6dpp_tpu.config.base import Config, SelfSupConfig, SolverConfig
+
+
+def get_config() -> Config:
+    base = base_config()
+    return dataclasses.replace(
+        base,
+        exp_name="self6dpp_lm_ss",
+        solver=SolverConfig(
+            optimizer="ranger", base_lr=2e-5, anneal_method="cosine",
+            anneal_point=0.72, total_iters=3000, ims_per_batch=8,
+            reference_bs=8, grad_clip_norm=35.0, ema_decay=0.999,
+        ),
+        self_sup=SelfSupConfig(
+            enabled=True,
+            mask_lw=1.0, mask_loss_type="RW_BCE", mask_edge_reweight=True,
+            perceptual_lw=0.15,
+            ms_ssim_lw=1.0,
+            lab_lw=0.0,
+            depth_chamfer_lw=0.0,      # woDepth family; enable for wDepth
+            chamfer_dist_thr=0.05,
+            pseudo_pm_lw=10.0,         # refinePM10
+            pseudo_trans_lw=0.0,
+            ema_teacher=True, ema_decay=0.999,
+            geo_mode_ratio=0.0,
+        ),
+    )
