@@ -43,8 +43,9 @@ def _fine_fwd_kernel(uv_ref, cgeo_ref, czin_ref, catt_ref,
     zme = g[:, 6][None]
     val = g[:, 7][None] > 0.5
 
-    ty = uv_ref[0, 0]
-    tx = uv_ref[0, 1]
+    i = pl.program_id(0)
+    ty = uv_ref[i, 0]
+    tx = uv_ref[i, 1]
     rows = jax.lax.broadcasted_iota(jnp.float32, (P, 1), 0)
     pv = ty.astype(jnp.float32) + jnp.floor(rows / tp)
     pu = tx.astype(jnp.float32) + rows - jnp.floor(rows / tp) * tp
@@ -136,8 +137,9 @@ def _fine_bwd_kernel(uv_ref, cgeo_ref, czin_ref, catt_ref,
     zme = g[:, 6][None]
     val = g[:, 7][None] > 0.5
 
-    ty = uv_ref[0, 0]
-    tx = uv_ref[0, 1]
+    i = pl.program_id(0)
+    ty = uv_ref[i, 0]
+    tx = uv_ref[i, 1]
     rows = jax.lax.broadcasted_iota(jnp.float32, (P, 1), 0)
     pv = ty.astype(jnp.float32) + jnp.floor(rows / tp)
     pu = tx.astype(jnp.float32) + rows - jnp.floor(rows / tp) * tp
@@ -329,7 +331,7 @@ def _fine_fwd(uv, cgeo, czin, catt, tp, D, sigma_px, with_prob, persp):
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, 8), ib, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, 3), ib, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, 3 * D), ib, memory_space=pltpu.VMEM),
@@ -367,7 +369,7 @@ def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, res, grads):
         kern,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, 8), ib, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, 3), ib, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, 3 * D), ib, memory_space=pltpu.VMEM),
