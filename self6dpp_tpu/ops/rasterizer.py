@@ -300,13 +300,95 @@ def rasterize_batch(verts, faces, attrs, K, R, t, **kw) -> RasterOut:
 
     verts (B,V,3) or (V,3); faces (F,3) shared or (B,F,3); attrs (B,V,D) or
     (V,D); K (B,3,3) or (3,3); R (B,3,3); t (B,3).
+
+    impl='pallas' uses a dedicated batched path: the per-image binning/prep
+    is vmapped jnp, then ALL (batch x tile) cells go through ONE pallas_call
+    grid — vmap over pallas_call itself is avoided (it defeats the kernel's
+    grid pipelining).
     """
+    if kw.get("impl", "xla") == "pallas":
+        return _rasterize_batch_pallas(verts, faces, attrs, K, R, t, **kw)
     B = R.shape[0]
     bcast = lambda x, nd: (0 if x.ndim > nd else None)
     in_axes = (bcast(verts, 2), bcast(faces, 2), bcast(attrs, 2),
                bcast(K, 2), 0, 0)
     fn = lambda v, f, a, k, r, tt: rasterize_single(v, f, a, k, r, tt, **kw)
     return jax.vmap(fn, in_axes=in_axes)(verts, faces, attrs, K, R, t)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "tile_px",
+                                  "faces_per_tile", "sigma_px", "zbuf_mode",
+                                  "cull_backfaces", "with_prob", "impl"))
+def _rasterize_batch_pallas(
+    verts, faces, attrs, K, R, t,
+    height: int = 64, width: int = 64, tile_px: int = 16,
+    faces_per_tile: int = 128, sigma_px: float = 1.0,
+    zbuf_mode: str = "persp", cull_backfaces: bool = True,
+    with_prob: bool = True, impl: str = "pallas",
+) -> RasterOut:
+    from .raster_pallas import fine_raster
+    B = R.shape[0]
+    D = attrs.shape[-1]
+    th = -(-height // tile_px)
+    tw = -(-width // tile_px)
+    Tt = th * tw
+
+    def prep(v, f, a, k, r, tt):
+        v2d, z = project_mesh(v, k, r, tt)
+        v2d_f = _face_gather(v2d, f)
+        z_f = _face_gather(z, f)
+        attr_f = _face_gather(a, f)
+        zmean_f = z_f.mean(axis=1)
+        zinv_f = 1.0 / jnp.maximum(z_f, 1e-8)
+        front = (z_f > 1e-6).all(axis=1)
+        x0, y0 = v2d_f[:, 0, 0], v2d_f[:, 0, 1]
+        x1, y1 = v2d_f[:, 1, 0], v2d_f[:, 1, 1]
+        x2, y2 = v2d_f[:, 2, 0], v2d_f[:, 2, 1]
+        area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        valid_f = front & (jnp.abs(area2) > 1e-10)
+        if cull_backfaces:
+            valid_f = valid_f & (area2 < 0)
+        cand = _bin_faces(v2d_f, valid_f, height, width, tile_px,
+                          faces_per_tile)
+        Kc = cand.shape[1]
+        safe = jnp.maximum(cand, 0)
+        cgeo = jnp.concatenate([
+            v2d_f[safe].reshape(Tt, Kc, 6),
+            zmean_f[safe][..., None],
+            (valid_f[safe] & (cand >= 0)).astype(jnp.float32)[..., None],
+        ], axis=-1)
+        return cand, cgeo, zinv_f[safe], attr_f[safe].reshape(Tt, Kc, 3 * D)
+
+    bcast = lambda x, nd: (0 if x.ndim > nd else None)
+    in_axes = (bcast(verts, 2), bcast(faces, 2), bcast(attrs, 2),
+               bcast(K, 2), 0, 0)
+    cand, cgeo, czin, catt = jax.vmap(prep, in_axes=in_axes)(
+        verts, faces, attrs, K, R, t)                 # (B,T,...)
+
+    Kc = cand.shape[-1]
+    ti = jnp.arange(Tt, dtype=jnp.int32)
+    uv1 = jnp.stack([(ti // tw) * tile_px, (ti % tw) * tile_px], axis=-1)
+    uv = jnp.tile(uv1, (B, 1))
+    mask, prob, depth, attr, best = fine_raster(
+        uv, cgeo.reshape(B * Tt, Kc, 8), czin.reshape(B * Tt, Kc, 3),
+        catt.reshape(B * Tt, Kc, 3 * D), tile_px, D, sigma_px, with_prob,
+        zbuf_mode == "persp")
+    face_id = jnp.where(
+        best >= 0,
+        jnp.take_along_axis(cand.reshape(B * Tt, Kc),
+                            jnp.maximum(best, 0).reshape(B * Tt, -1),
+                            axis=1).reshape(best.shape), -1)
+
+    def untile(x):
+        x = x.reshape((B, th, tw, tile_px, tile_px) + x.shape[3:])
+        x = jnp.moveaxis(x, 3, 2).reshape(
+            (B, th * tile_px, tw * tile_px) + x.shape[5:])
+        return x[:, :height, :width]
+
+    bary = jnp.zeros((B, height, width, 3), jnp.float32)
+    return RasterOut(mask=untile(mask), prob=untile(prob),
+                     depth=untile(depth), attr=untile(attr),
+                     face_id=untile(face_id), bary=bary)
 
 
 # ---------------------------------------------------------------------------
