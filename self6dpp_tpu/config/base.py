@@ -271,6 +271,7 @@ class RendererConfig:
     gamma: float = 1.0 / 7000.0
     max_faces: int = 8192           # static per-object face budget
     tile_px: int = 16
+    impl: str = "auto"              # auto | xla | pallas (fused TPU kernel)
 
 
 # ---------------------------------------------------------------------------

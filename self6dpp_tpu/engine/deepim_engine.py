@@ -67,9 +67,13 @@ def make_refine_fn(cfg: Config, model: DeepIM, n_iter: int,
     """Returns refine(variables, batch, init_rot, init_trans[, rng]) ->
     (rot, trans[, loss_dict]) with the n_iter loop scanned in-graph."""
     dcfg = cfg.deepim
+    impl = cfg.renderer.impl
+    if impl == "auto":
+        impl = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
     rkw = dict(tile_px=cfg.renderer.tile_px,
                faces_per_tile=min(cfg.renderer.max_faces, 128),
-               sigma_px=1.0, with_prob=False)  # DeepIM needs hard renders only
+               sigma_px=1.0, with_prob=False,  # DeepIM needs hard renders only
+               impl=impl)
     if raster_kw:
         rkw.update(raster_kw)
 

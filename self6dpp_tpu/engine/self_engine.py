@@ -56,11 +56,14 @@ def render_student_pose(cfg: Config, batch: dict[str, Array], rot: Array,
     verts = batch["mesh_verts"][cls]
     faces = batch["mesh_faces"][cls]
     colors = batch["mesh_colors"][cls]
+    impl = cfg.renderer.impl
+    if impl == "auto":
+        impl = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
     out = rasterize_batch(
         verts, faces, colors, Kz, rot, trans, height=s, width=s,
         tile_px=cfg.renderer.tile_px,
         faces_per_tile=min(cfg.renderer.max_faces, 128),
-        sigma_px=soft_sigma)
+        sigma_px=soft_sigma, impl=impl)
     return {"color": out.attr, "prob": out.prob, "mask": out.mask,
             "depth": out.depth}
 
