@@ -71,6 +71,53 @@ def add_or_adi_error(R_est, t_est, R_gt, t_gt, pts, is_sym) -> Array:
     return jnp.where(is_sym, s, a)
 
 
+def mssd_error(R_est, t_est, R_gt, t_gt, pts, sym_rots, sym_valid) -> Array:
+    """Maximum symmetry-aware surface distance (BOP19,
+    lib/pysixd/pose_error.py:131): min over sym poses of the max point
+    distance. pts (...,N,3); sym_rots (...,S,3,3); sym_valid (...,S)."""
+    pe = transform_pts(pts, R_est, t_est)                       # (...,N,3)
+    R_sym = jnp.einsum("...ij,...sjk->...sik", R_gt, sym_rots)  # (...,S,3,3)
+    pg = jnp.einsum("...sij,...nj->...sni", R_sym, pts) + t_gt[..., None, None, :]
+    d = jnp.linalg.norm(pe[..., None, :, :] - pg, axis=-1)      # (...,S,N)
+    dmax = d.max(axis=-1)                                       # (...,S)
+    return jnp.where(sym_valid, dmax, jnp.inf).min(axis=-1)
+
+
+def mspd_error(R_est, t_est, R_gt, t_gt, K, pts, sym_rots, sym_valid) -> Array:
+    """Maximum symmetry-aware projection distance (BOP19, pose_error.py:156)."""
+    pe = project_pts(pts, K, R_est, t_est)                      # (...,N,2)
+    S = sym_rots.shape[-3]
+    R_sym = jnp.einsum("...ij,...sjk->...sik", R_gt, sym_rots)
+    Kb = jnp.broadcast_to(K[..., None, :, :], R_sym.shape[:-2] + (3, 3))
+    tb = jnp.broadcast_to(t_gt[..., None, :], R_sym.shape[:-2] + (3,))
+    pts_b = jnp.broadcast_to(pts[..., None, :, :],
+                             R_sym.shape[:-2] + pts.shape[-2:])
+    pg = project_pts(pts_b, Kb, R_sym, tb)                      # (...,S,N,2)
+    d = jnp.linalg.norm(pe[..., None, :, :] - pg, axis=-1)
+    dmax = d.max(axis=-1)
+    return jnp.where(sym_valid, dmax, jnp.inf).min(axis=-1)
+
+
+def vsd_error(depth_est: Array, depth_gt: Array, depth_obs: Array,
+              taus=(0.05,), delta: float = 0.015) -> Array:
+    """Visible surface discrepancy (BOP, pose_error.py:22) from pre-rendered
+    depth maps (use ops.rasterizer hard mode): mean over visible pixels of
+    1[|d_est - d_gt| > tau], averaged over taus. depth_* (..., H, W)."""
+    vis_gt = (depth_gt > 0) & (
+        (depth_obs <= 0) | (depth_gt < depth_obs + delta))
+    vis_est = (depth_est > 0) & (
+        (depth_obs <= 0) | (depth_est < depth_obs + delta))
+    vis = vis_gt | vis_est
+    n = jnp.maximum(vis.sum(axis=(-2, -1)), 1)
+    costs = []
+    for tau in taus:
+        diff = jnp.abs(depth_est - depth_gt)
+        err = jnp.where(vis_gt & vis_est, (diff > tau).astype(jnp.float32),
+                        1.0)
+        costs.append(jnp.where(vis, err, 0.0).sum(axis=(-2, -1)) / n)
+    return jnp.stack(costs, axis=0).mean(axis=0)
+
+
 # ---------------------------------------------------------------------------
 # recall tables (host-side, numpy) — evaluator protocol parity
 # ---------------------------------------------------------------------------

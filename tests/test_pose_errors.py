@@ -101,3 +101,40 @@ def test_pose_decode_consistency(rng):
     # rotation stays a rotation
     eye = np.asarray(jnp.swapaxes(R_ego, -1, -2) @ R_ego)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (n, 3, 3)), atol=1e-4)
+
+
+def test_mssd_sym_aware(rng):
+    """With a z-flip symmetry, a 180°-z-rotated estimate has mssd ~ 0."""
+    from scipy.spatial.transform import Rotation as Rot
+    pts = jnp.asarray(rng.normal(size=(1, 64, 3)) * 0.05, dtype=jnp.float32)
+    R_gt = jnp.broadcast_to(jnp.eye(3), (1, 3, 3)).astype(jnp.float32)
+    t = jnp.asarray([[0.0, 0.0, 1.0]])
+    flip = jnp.asarray(np.diag([-1.0, -1.0, 1.0]), dtype=jnp.float32)
+    R_est = (flip[None] @ R_gt)
+    sym_id = jnp.broadcast_to(jnp.eye(3), (1, 2, 3, 3)).astype(jnp.float32)
+    sym_flip = sym_id.at[:, 1].set(flip)
+    valid = jnp.asarray([[True, True]])
+    e_with = float(E.mssd_error(R_est, t, R_gt, t, pts, sym_flip, valid)[0])
+    e_wo = float(E.mssd_error(R_est, t, R_gt, t, pts, sym_id,
+                              jnp.asarray([[True, False]]))[0])
+    assert e_with < 1e-5 and e_wo > 0.01
+
+
+def test_mspd_zero_same_pose(rng):
+    pts = jnp.asarray(rng.normal(size=(1, 32, 3)) * 0.05, dtype=jnp.float32)
+    R = jnp.broadcast_to(jnp.eye(3), (1, 3, 3)).astype(jnp.float32)
+    t = jnp.asarray([[0.0, 0.0, 1.0]])
+    K = jnp.asarray([[[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]]])
+    sym = jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3)).astype(jnp.float32)
+    e = float(E.mspd_error(R, t, R, t, K, pts, sym, jnp.asarray([[True]]))[0])
+    assert e < 1e-3
+
+
+def test_vsd_basic():
+    d_gt = jnp.ones((1, 8, 8)) * 1.0
+    d_obs = d_gt
+    # same depth -> 0; offset by 0.1 (> tau 0.05) -> high
+    e0 = float(E.vsd_error(d_gt, d_gt, d_obs)[0])
+    e1 = float(E.vsd_error(d_gt + 0.1, d_gt, d_obs)[0])
+    assert e0 == 0.0
+    assert e1 > 0.5
