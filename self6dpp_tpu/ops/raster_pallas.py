@@ -100,7 +100,11 @@ def _fine_fwd_kernel(uv_ref, cgeo_ref, czin_ref, catt_ref,
         d2 = _tri_d2(pu, pv, x0, y0, x1, y1, x2, y2)
         p_face = jnp.where(inside, 1.0, jnp.exp(-d2 / (sigma_px ** 2)))
         p_face = jnp.where(val, p_face, 0.0)
-        prob = 1.0 - jnp.prod(1.0 - p_face, axis=-1)
+        # Mosaic has no lane reduce_prod: prod(1-p) = exp(sum(log(1-p)))
+        # (log clamped; any p=1 drives the sum to ~-90 -> exp ~ 0, exact
+        # enough in f32 for the 0-coverage limit)
+        logs = jnp.log(jnp.maximum(1.0 - p_face, 1e-38))
+        prob = 1.0 - jnp.exp(jnp.sum(logs, axis=-1))
         prob_ref[0] = prob.reshape(tp, tp)
     else:
         prob_ref[0] = covf.reshape(tp, tp)
@@ -260,7 +264,7 @@ def _fine_bwd_kernel(uv_ref, cgeo_ref, czin_ref, catt_ref,
         p_face = jnp.where(inside, 1.0, jnp.exp(-d2 / (sigma_px ** 2)))
         p_face = jnp.where(val, p_face, 0.0)
         one_m = 1.0 - p_face
-        T = jnp.prod(one_m, axis=-1)                  # (P,)
+        T = jnp.exp(jnp.sum(jnp.log(jnp.maximum(one_m, 1e-38)), axis=-1))  # (P,)
         loo = jnp.where(one_m > 1e-6, T[:, None] / jnp.maximum(one_m, 1e-6),
                         0.0)
         dp_face = dP[:, None] * loo                   # dP/dp_k (sign: P=1-prod)
