@@ -31,10 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _fine_fwd_kernel(uv_ref, cgeo_ref, czin_ref, catt_ref,
+def _fine_fwd_kernel(cgeo_ref, czin_ref, catt_ref,
                      mask_ref, prob_ref, depth_ref, attr_ref, best_ref,
                      *, tp: int, K: int, D: int, sigma_px: float,
-                     with_prob: bool, persp: bool):
+                     with_prob: bool, persp: bool, tw: int, Tt: int):
     P = tp * tp
     g = cgeo_ref[0]                                   # (K, 8)
     x0, y0 = g[:, 0][None], g[:, 1][None]             # (1,K)
@@ -44,9 +44,10 @@ def _fine_fwd_kernel(uv_ref, cgeo_ref, czin_ref, catt_ref,
     val = g[:, 7][None] > 0.5
 
     i = pl.program_id(0)
-    ty = uv_ref[i, 0]
-    tx = uv_ref[i, 1]
-    rows = jax.lax.broadcasted_iota(jnp.float32, (P, 1), 0)
+    t_img = i % Tt                       # tile index within its image
+    ty = (t_img // tw) * tp
+    tx = (t_img % tw) * tp
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(jnp.float32)
     pv = ty.astype(jnp.float32) + jnp.floor(rows / tp)
     pu = tx.astype(jnp.float32) + rows - jnp.floor(rows / tp) * tp
 
@@ -127,11 +128,11 @@ def _tri_d2(pu, pv, x0, y0, x1, y1, x2, y2):
     return jnp.minimum(jnp.minimum(d01, d12), d20)
 
 
-def _fine_bwd_kernel(uv_ref, cgeo_ref, czin_ref, catt_ref,
+def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
                      dprob_ref, ddepth_ref, dattr_ref,
                      dgeo_ref, dzin_ref, datt_ref,
                      *, tp: int, K: int, D: int, sigma_px: float,
-                     with_prob: bool, persp: bool):
+                     with_prob: bool, persp: bool, tw: int, Tt: int):
     """Recompute forward intermediates, emit grads wrt candidate data."""
     P = tp * tp
     g = cgeo_ref[0]
@@ -142,9 +143,10 @@ def _fine_bwd_kernel(uv_ref, cgeo_ref, czin_ref, catt_ref,
     val = g[:, 7][None] > 0.5
 
     i = pl.program_id(0)
-    ty = uv_ref[i, 0]
-    tx = uv_ref[i, 1]
-    rows = jax.lax.broadcasted_iota(jnp.float32, (P, 1), 0)
+    t_img = i % Tt                       # tile index within its image
+    ty = (t_img // tw) * tp
+    tx = (t_img % tw) * tp
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(jnp.float32)
     pv = ty.astype(jnp.float32) + jnp.floor(rows / tp)
     pu = tx.astype(jnp.float32) + rows - jnp.floor(rows / tp) * tp
 
@@ -310,18 +312,19 @@ def _fine_bwd_kernel(uv_ref, cgeo_ref, czin_ref, catt_ref,
 # host-side wrapper with custom_vjp
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def fine_raster(uv, cgeo, czin, catt, tp, D, sigma_px, with_prob, persp):
-    """uv (T,2) int32 tile origins (v,u); cgeo (T,K,8); czin (T,K,3);
-    catt (T,K,3D). Returns (mask, prob, depth (T,tp,tp), attr (T,tp,tp,D),
-    best (T,tp,tp) int32)."""
-    return _fine_fwd(uv, cgeo, czin, catt, tp, D, sigma_px, with_prob, persp)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def fine_raster(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
+    """cgeo (T,K,8); czin (T,K,3); catt (T,K,3D); tw = tiles per row,
+    Tt = tiles per image (grid rows are batch-major: tile i belongs to image
+    i // Tt at in-image tile i % Tt). Returns (mask, prob, depth (T,tp,tp),
+    attr (T,tp,tp,D), best (T,tp,tp) int32)."""
+    return _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt)
 
 
-def _fine_fwd(uv, cgeo, czin, catt, tp, D, sigma_px, with_prob, persp):
+def _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
     T, K, _ = cgeo.shape
     kern = partial(_fine_fwd_kernel, tp=tp, K=K, D=D, sigma_px=sigma_px,
-                   with_prob=with_prob, persp=persp)
+                   with_prob=with_prob, persp=persp, tw=tw, Tt=Tt)
     out_shape = (
         jax.ShapeDtypeStruct((T, tp, tp), jnp.float32),       # mask
         jax.ShapeDtypeStruct((T, tp, tp), jnp.float32),       # prob
@@ -335,7 +338,6 @@ def _fine_fwd(uv, cgeo, czin, catt, tp, D, sigma_px, with_prob, persp):
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, 8), ib, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, 3), ib, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, 3 * D), ib, memory_space=pltpu.VMEM),
@@ -349,20 +351,20 @@ def _fine_fwd(uv, cgeo, czin, catt, tp, D, sigma_px, with_prob, persp):
             pl.BlockSpec((1, tp, tp), ib, memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
-    )(uv, cgeo, czin, catt)
+    )(cgeo, czin, catt)
 
 
-def _fine_fwd_rule(uv, cgeo, czin, catt, tp, D, sigma_px, with_prob, persp):
-    outs = _fine_fwd(uv, cgeo, czin, catt, tp, D, sigma_px, with_prob, persp)
-    return outs, (uv, cgeo, czin, catt)
+def _fine_fwd_rule(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
+    outs = _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt)
+    return outs, (cgeo, czin, catt)
 
 
-def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, res, grads):
-    uv, cgeo, czin, catt = res
+def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, tw, Tt, res, grads):
+    cgeo, czin, catt = res
     dmask, dprob, ddepth, dattr, dbest = grads
     T, K, _ = cgeo.shape
     kern = partial(_fine_bwd_kernel, tp=tp, K=K, D=D, sigma_px=sigma_px,
-                   with_prob=with_prob, persp=persp)
+                   with_prob=with_prob, persp=persp, tw=tw, Tt=Tt)
     ib = lambda i: (i, 0, 0)
     out_shape = (
         jax.ShapeDtypeStruct((T, K, 8), jnp.float32),
@@ -373,7 +375,6 @@ def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, res, grads):
         kern,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, 8), ib, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, 3), ib, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, 3 * D), ib, memory_space=pltpu.VMEM),
@@ -388,8 +389,8 @@ def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, res, grads):
             pl.BlockSpec((1, K, 3 * D), ib, memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
-    )(uv, cgeo, czin, catt, dprob, ddepth, dattr)
-    return None, dgeo, dzin, datt
+    )(cgeo, czin, catt, dprob, ddepth, dattr)
+    return dgeo, dzin, datt
 
 
 fine_raster.defvjp(_fine_fwd_rule, _fine_bwd_rule)

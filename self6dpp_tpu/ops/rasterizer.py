@@ -214,12 +214,9 @@ def _rasterize_fine_pallas(cand, v2d_f, zmean_f, zinv_f, attr_f, valid_f,
     cgeo = jnp.concatenate([cv2d, czme, cval], axis=-1)          # (T,K,8)
     czin = zinv_f[safe]                                          # (T,K,3)
     catt = attr_f[safe].reshape(T, K, 3 * D)
-    ti = jnp.arange(T, dtype=jnp.int32)
-    uv = jnp.stack([(ti // tw) * tile_px, (ti % tw) * tile_px], axis=-1)
-
     mask, prob, depth, attr, best = fine_raster(
-        uv, cgeo, czin, catt, tile_px, D, sigma_px, with_prob,
-        zbuf_mode == "persp")
+        cgeo, czin, catt, tile_px, D, sigma_px, with_prob,
+        zbuf_mode == "persp", tw, T)
     face_id = jnp.where(
         best >= 0,
         jnp.take_along_axis(cand, jnp.maximum(best, 0).reshape(T, -1),
@@ -366,13 +363,10 @@ def _rasterize_batch_pallas(
         verts, faces, attrs, K, R, t)                 # (B,T,...)
 
     Kc = cand.shape[-1]
-    ti = jnp.arange(Tt, dtype=jnp.int32)
-    uv1 = jnp.stack([(ti // tw) * tile_px, (ti % tw) * tile_px], axis=-1)
-    uv = jnp.tile(uv1, (B, 1))
     mask, prob, depth, attr, best = fine_raster(
-        uv, cgeo.reshape(B * Tt, Kc, 8), czin.reshape(B * Tt, Kc, 3),
+        cgeo.reshape(B * Tt, Kc, 8), czin.reshape(B * Tt, Kc, 3),
         catt.reshape(B * Tt, Kc, 3 * D), tile_px, D, sigma_px, with_prob,
-        zbuf_mode == "persp")
+        zbuf_mode == "persp", tw, Tt)
     face_id = jnp.where(
         best >= 0,
         jnp.take_along_axis(cand.reshape(B * Tt, Kc),
