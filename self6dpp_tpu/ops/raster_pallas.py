@@ -5,18 +5,26 @@ The jnp fine stage (ops/rasterizer.py:_raster_tile) materializes ~30
 computation in VMEM. Grid = flattened (batch*tiles); per cell it consumes the
 candidate-gathered face data and emits the tile's pixels.
 
+TPU layout rules shape every array here (lane dim = 128):
+  * candidate data is stored K-minor: cgeo (T, 8, K), czin (T, 3, K),
+    catt (T, 3D, K) — K=128 exactly fills the lanes, zero padding;
+  * pixel outputs are stored as (T, P/128, 128) (and attr (T, D, P/128,
+    128)) so blocks tile to (8,128) without padding — the naive (T,16,16,D)
+    layout padded every 16- or 3-wide minor dim to 128 lanes and blew the
+    16 MB scoped-VMEM budget 6x.
+
 Backward is analytic (custom_vjp):
   * attribute grads route through the perspective-corrected barycentric
-    weights of the winning face (matmul-free, per-pixel);
+    weights of the winning face;
   * silhouette-prob grads use the leave-one-out product identity
     d p_k = dP * prod_{j!=k}(1-p_j) = dP * T/(1-p_k) guarded at p_k->1,
     and the envelope theorem for the clipped segment-foot parameter t
     (exact: at the unconstrained minimizer d d2/dt = 0);
   * the z-buffer argmin is treated as piecewise-constant (subgradient 0),
-    matching both DIB-R's CUDA backward and the jnp autodiff behavior.
+    matching both DIB-R's CUDA backward and jnp autodiff.
 
-Semantics are tested for exact forward parity and gradient agreement with
-the jnp path (tests/test_raster_pallas.py).
+Forward parity and gradient agreement with the XLA path are tested in
+tests/test_raster_pallas.py (interpret mode on CPU).
 """
 
 from __future__ import annotations
@@ -30,85 +38,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+LANE = 128
 
-def _fine_fwd_kernel(cgeo_ref, czin_ref, catt_ref,
-                     mask_ref, prob_ref, depth_ref, attr_ref, best_ref,
-                     *, tp: int, K: int, D: int, sigma_px: float,
-                     with_prob: bool, persp: bool, tw: int, Tt: int):
-    P = tp * tp
-    g = cgeo_ref[0]                                   # (K, 8)
-    x0, y0 = g[:, 0][None], g[:, 1][None]             # (1,K)
-    x1, y1 = g[:, 2][None], g[:, 3][None]
-    x2, y2 = g[:, 4][None], g[:, 5][None]
-    zme = g[:, 6][None]
-    val = g[:, 7][None] > 0.5
 
-    i = pl.program_id(0)
-    t_img = i % Tt                       # tile index within its image
+def _pixel_coords(i, tp, tw, Tt, P):
+    t_img = i % Tt
     ty = (t_img // tw) * tp
     tx = (t_img % tw) * tp
     rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(jnp.float32)
     pv = ty.astype(jnp.float32) + jnp.floor(rows / tp)
     pu = tx.astype(jnp.float32) + rows - jnp.floor(rows / tp) * tp
+    return pu, pv
 
+
+def _fwd_common(g, pu, pv):
+    """g (8, K) candidate geometry -> barycentric machinery, all (P, K)."""
+    x0, y0 = g[0:1, :], g[1:2, :]
+    x1, y1 = g[2:3, :], g[3:4, :]
+    x2, y2 = g[4:5, :], g[5:6, :]
+    zme = g[6:7, :]
+    val = g[7:8, :] > 0.5
     area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
     inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
-    w0 = ((x1 - pu) * (y2 - pv) - (x2 - pu) * (y1 - pv)) * inv_area
-    w1 = ((x2 - pu) * (y0 - pv) - (x0 - pu) * (y2 - pv)) * inv_area
-    w2 = 1.0 - w0 - w1                                # (P,K)
+    e0 = (x1 - pu) * (y2 - pv) - (x2 - pu) * (y1 - pv)
+    e1 = (x2 - pu) * (y0 - pv) - (x0 - pu) * (y2 - pv)
+    w0 = e0 * inv_area
+    w1 = e1 * inv_area
+    w2 = 1.0 - w0 - w1
     inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & val
-
-    zkey = jnp.where(inside, zme, jnp.inf)
-    best = jnp.argmin(zkey, axis=-1)                  # (P,)
-    bz = jnp.min(zkey, axis=-1)
-    covered = jnp.isfinite(bz)
-
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (P, K), 1)
-              == best[:, None]).astype(jnp.float32)
-    sel = lambda a: jnp.sum(onehot * a, axis=-1)
-    b0 = jnp.clip(sel(w0), 0.0, 1.0)
-    b1 = jnp.clip(sel(w1), 0.0, 1.0)
-    b2 = jnp.clip(sel(w2), 0.0, 1.0)
-    bs = jnp.maximum(b0 + b1 + b2, 1e-8)
-    b0, b1, b2 = b0 / bs, b1 / bs, b2 / bs
-
-    att = catt_ref[0]                                 # (K, 3D)
-    wsel = jnp.dot(onehot, att, preferred_element_type=jnp.float32)  # (P,3D)
-    a0 = wsel[:, 0:D]
-    a1 = wsel[:, D:2 * D]
-    a2 = wsel[:, 2 * D:3 * D]
-    if persp:
-        zi = jnp.dot(onehot, czin_ref[0],
-                     preferred_element_type=jnp.float32)  # (P,3)
-        p0 = b0 * zi[:, 0]
-        p1 = b1 * zi[:, 1]
-        p2 = b2 * zi[:, 2]
-        s = jnp.maximum(p0 + p1 + p2, 1e-12)
-        attr = (a0 * (p0 / s)[:, None] + a1 * (p1 / s)[:, None]
-                + a2 * (p2 / s)[:, None])
-        depth = 1.0 / s
-    else:
-        attr = a0 * b0[:, None] + a1 * b1[:, None] + a2 * b2[:, None]
-        depth = sel(jnp.where(inside, zme, 0.0))
-
-    covf = covered.astype(jnp.float32)
-    mask_ref[0] = covf.reshape(tp, tp)
-    depth_ref[0] = (depth * covf).reshape(tp, tp)
-    attr_ref[0] = (attr * covf[:, None]).reshape(tp, tp, D)
-    best_ref[0] = jnp.where(covered, best, -1).reshape(tp, tp).astype(jnp.int32)
-
-    if with_prob:
-        d2 = _tri_d2(pu, pv, x0, y0, x1, y1, x2, y2)
-        p_face = jnp.where(inside, 1.0, jnp.exp(-d2 / (sigma_px ** 2)))
-        p_face = jnp.where(val, p_face, 0.0)
-        # Mosaic has no lane reduce_prod: prod(1-p) = exp(sum(log(1-p)))
-        # (log clamped; any p=1 drives the sum to ~-90 -> exp ~ 0, exact
-        # enough in f32 for the 0-coverage limit)
-        logs = jnp.log(jnp.maximum(1.0 - p_face, 1e-38))
-        prob = 1.0 - jnp.exp(jnp.sum(logs, axis=-1))
-        prob_ref[0] = prob.reshape(tp, tp)
-    else:
-        prob_ref[0] = covf.reshape(tp, tp)
+    return (x0, y0, x1, y1, x2, y2, zme, val, inv_area, e0, e1, w0, w1, w2,
+            inside)
 
 
 def _seg_d2(pu, pv, ax, ay, bx, by):
@@ -121,11 +80,72 @@ def _seg_d2(pu, pv, ax, ay, bx, by):
     return dx * dx + dy * dy
 
 
-def _tri_d2(pu, pv, x0, y0, x1, y1, x2, y2):
-    d01 = _seg_d2(pu, pv, x0, y0, x1, y1)
-    d12 = _seg_d2(pu, pv, x1, y1, x2, y2)
-    d20 = _seg_d2(pu, pv, x2, y2, x0, y0)
-    return jnp.minimum(jnp.minimum(d01, d12), d20)
+def _fine_fwd_kernel(cgeo_ref, czin_ref, catt_ref,
+                     mask_ref, prob_ref, depth_ref, attr_ref, best_ref,
+                     *, tp: int, K: int, D: int, sigma_px: float,
+                     with_prob: bool, persp: bool, tw: int, Tt: int):
+    P = tp * tp
+    i = pl.program_id(0)
+    pu, pv = _pixel_coords(i, tp, tw, Tt, P)
+    g = cgeo_ref[0]                                   # (8, K)
+    (x0, y0, x1, y1, x2, y2, zme, val, _, _, _, w0, w1, w2,
+     inside) = _fwd_common(g, pu, pv)
+
+    zkey = jnp.where(inside, zme, jnp.inf)
+    best = jnp.argmin(zkey, axis=-1)                  # (P,)
+    covered = jnp.isfinite(jnp.min(zkey, axis=-1))
+
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (P, K), 1)
+              == best[:, None]).astype(jnp.float32)
+    sel = lambda a: jnp.sum(onehot * a, axis=-1)
+    b0 = jnp.clip(sel(w0), 0.0, 1.0)
+    b1 = jnp.clip(sel(w1), 0.0, 1.0)
+    b2 = jnp.clip(sel(w2), 0.0, 1.0)
+    bs = jnp.maximum(b0 + b1 + b2, 1e-8)
+    b0, b1, b2 = b0 / bs, b1 / bs, b2 / bs
+
+    att = catt_ref[0]                                 # (3D, K)
+    # contract K lanes of both operands -> (P, 3D) on the MXU
+    wsel = jax.lax.dot_general(onehot, att, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    a0 = wsel[:, 0:D]
+    a1 = wsel[:, D:2 * D]
+    a2 = wsel[:, 2 * D:3 * D]
+    if persp:
+        zi = jax.lax.dot_general(onehot, czin_ref[0],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (P,3)
+        p0 = b0 * zi[:, 0]
+        p1 = b1 * zi[:, 1]
+        p2 = b2 * zi[:, 2]
+        s = jnp.maximum(p0 + p1 + p2, 1e-12)
+        attr = (a0 * (p0 / s)[:, None] + a1 * (p1 / s)[:, None]
+                + a2 * (p2 / s)[:, None])
+        depth = 1.0 / s
+    else:
+        attr = a0 * b0[:, None] + a1 * b1[:, None] + a2 * b2[:, None]
+        depth = sel(jnp.where(inside, zme, 0.0))
+
+    covf = covered.astype(jnp.float32)
+    P8 = P // LANE
+    mask_ref[0] = covf.reshape(P8, LANE)
+    depth_ref[0] = (depth * covf).reshape(P8, LANE)
+    attr_ref[0] = (attr * covf[:, None]).T.reshape(D, P8, LANE)
+    best_ref[0] = jnp.where(covered, best, -1).reshape(P8, LANE).astype(jnp.int32)
+
+    if with_prob:
+        d01 = _seg_d2(pu, pv, x0, y0, x1, y1)
+        d12 = _seg_d2(pu, pv, x1, y1, x2, y2)
+        d20 = _seg_d2(pu, pv, x2, y2, x0, y0)
+        d2 = jnp.minimum(jnp.minimum(d01, d12), d20)
+        p_face = jnp.where(inside, 1.0, jnp.exp(-d2 / (sigma_px ** 2)))
+        p_face = jnp.where(val, p_face, 0.0)
+        # Mosaic has no lane reduce_prod: prod(1-p) = exp(sum(log(1-p)))
+        logs = jnp.log(jnp.maximum(1.0 - p_face, 1e-38))
+        prob = 1.0 - jnp.exp(jnp.sum(logs, axis=-1))
+        prob_ref[0] = prob.reshape(P8, LANE)
+    else:
+        prob_ref[0] = covf.reshape(P8, LANE)
 
 
 def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
@@ -135,29 +155,12 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
                      with_prob: bool, persp: bool, tw: int, Tt: int):
     """Recompute forward intermediates, emit grads wrt candidate data."""
     P = tp * tp
-    g = cgeo_ref[0]
-    x0, y0 = g[:, 0][None], g[:, 1][None]
-    x1, y1 = g[:, 2][None], g[:, 3][None]
-    x2, y2 = g[:, 4][None], g[:, 5][None]
-    zme = g[:, 6][None]
-    val = g[:, 7][None] > 0.5
-
     i = pl.program_id(0)
-    t_img = i % Tt                       # tile index within its image
-    ty = (t_img // tw) * tp
-    tx = (t_img % tw) * tp
-    rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(jnp.float32)
-    pv = ty.astype(jnp.float32) + jnp.floor(rows / tp)
-    pu = tx.astype(jnp.float32) + rows - jnp.floor(rows / tp) * tp
+    pu, pv = _pixel_coords(i, tp, tw, Tt, P)
+    g = cgeo_ref[0]
+    (x0, y0, x1, y1, x2, y2, zme, val, inv_area, e0, e1, w0, w1, w2,
+     inside) = _fwd_common(g, pu, pv)
 
-    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
-    e0 = (x1 - pu) * (y2 - pv) - (x2 - pu) * (y1 - pv)
-    e1 = (x2 - pu) * (y0 - pv) - (x0 - pu) * (y2 - pv)
-    w0 = e0 * inv_area
-    w1 = e1 * inv_area
-    w2 = 1.0 - w0 - w1
-    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & val
     zkey = jnp.where(inside, zme, jnp.inf)
     best = jnp.argmin(zkey, axis=-1)
     covered = jnp.isfinite(jnp.min(zkey, axis=-1))
@@ -166,40 +169,38 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
     oh_cov = onehot * covered[:, None].astype(jnp.float32)
     sel = lambda a: jnp.sum(onehot * a, axis=-1)
 
-    b0r = sel(w0)
-    b1r = sel(w1)
-    b2r = sel(w2)
+    b0r, b1r, b2r = sel(w0), sel(w1), sel(w2)
     c0 = jnp.clip(b0r, 0.0, 1.0)
     c1 = jnp.clip(b1r, 0.0, 1.0)
     c2 = jnp.clip(b2r, 0.0, 1.0)
     bs = jnp.maximum(c0 + c1 + c2, 1e-8)
     b0, b1, b2 = c0 / bs, c1 / bs, c2 / bs
 
-    att = catt_ref[0]
-    wsel = jnp.dot(onehot, att, preferred_element_type=jnp.float32)
+    att = catt_ref[0]                                 # (3D, K)
+    wsel = jax.lax.dot_general(onehot, att, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
     a0 = wsel[:, 0:D]
     a1 = wsel[:, D:2 * D]
     a2 = wsel[:, 2 * D:3 * D]
 
-    dattr = dattr_ref[0].reshape(P, D) * covered[:, None].astype(jnp.float32)
+    dattr = dattr_ref[0].reshape(D, P).T * covered[:, None].astype(jnp.float32)
     ddep = ddepth_ref[0].reshape(P) * covered.astype(jnp.float32)
 
     if persp:
-        zi = jnp.dot(onehot, czin_ref[0], preferred_element_type=jnp.float32)
+        zi = jax.lax.dot_general(onehot, czin_ref[0],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
         p0 = b0 * zi[:, 0]
         p1 = b1 * zi[:, 1]
         p2 = b2 * zi[:, 2]
         s = jnp.maximum(p0 + p1 + p2, 1e-12)
         q0, q1, q2 = p0 / s, p1 / s, p2 / s
-        # d attr / d q_v = a_v ; q_v = p_v / s
         dq0 = jnp.sum(a0 * dattr, -1)
         dq1 = jnp.sum(a1 * dattr, -1)
         dq2 = jnp.sum(a2 * dattr, -1)
-        # d att rows
         datt_rows = jnp.concatenate(
             [q0[:, None] * dattr, q1[:, None] * dattr, q2[:, None] * dattr],
             axis=-1)                                   # (P, 3D)
-        # s-chain: dp_v = (dq_v - sum_j q_j dq_j)/s ; depth = 1/s
         mixq = q0 * dq0 + q1 * dq1 + q2 * dq2
         ds_extra = -ddep / (s * s)
         dp0 = (dq0 - mixq) / s + ds_extra
@@ -208,13 +209,12 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
         db0 = dp0 * zi[:, 0]
         db1 = dp1 * zi[:, 1]
         db2 = dp2 * zi[:, 2]
-        dzi0 = dp0 * b0
-        dzi1 = dp1 * b1
-        dzi2 = dp2 * b2
-        dzin_ref[0] = (oh_cov[:, :, None] *
-                       jnp.stack([dzi0, dzi1, dzi2], -1)[:, None, :]
-                       ).sum(axis=0)
-        dzme = jnp.zeros((K,), jnp.float32)
+        dzi_rows = jnp.stack([dp0 * b0, dp1 * b1, dp2 * b2], axis=-1)  # (P,3)
+        # (3, K) = dzi_rows^T @ oh_cov
+        dzin_ref[0] = jax.lax.dot_general(
+            dzi_rows, oh_cov, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dzme = jnp.zeros((1, K), jnp.float32)
     else:
         db0 = jnp.sum(a0 * dattr, -1)
         db1 = jnp.sum(a1 * dattr, -1)
@@ -222,18 +222,19 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
         datt_rows = jnp.concatenate(
             [b0[:, None] * dattr, b1[:, None] * dattr, b2[:, None] * dattr],
             axis=-1)
-        dzin_ref[0] = jnp.zeros_like(czin_ref[0])
-        dzme = jnp.sum(oh_cov * ddep[:, None], axis=0)
+        dzin_ref[0] = jnp.zeros((3, K), jnp.float32)
+        dzme = jnp.sum(oh_cov * ddep[:, None], axis=0)[None, :]
 
-    datt_ref[0] = jnp.dot(oh_cov.T, datt_rows,
-                          preferred_element_type=jnp.float32)
+    # (3D, K) = datt_rows^T @ oh_cov
+    datt_ref[0] = jax.lax.dot_general(
+        datt_rows, oh_cov, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     # bary normalization/clip chain back to raw w
     mix = b0 * db0 + b1 * db1 + b2 * db2
     dc0 = (db0 - mix) / bs * ((b0r > 0) & (b0r < 1))
     dc1 = (db1 - mix) / bs * ((b1r > 0) & (b1r < 1))
     dc2 = (db2 - mix) / bs * ((b2r > 0) & (b2r < 1))
-    # route to the winning candidate's w-planes, (P,K)
     dw0 = oh_cov * dc0[:, None]
     dw1 = oh_cov * dc1[:, None]
     dw2 = oh_cov * dc2[:, None]
@@ -241,7 +242,6 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
     dw0 = dw0 - dw2
     dw1 = dw1 - dw2
 
-    # w0 = e0 * ia, w1 = e1 * ia ; area depends on all six coords
     de0 = dw0 * inv_area
     de1 = dw1 * inv_area
     darea = -(dw0 * e0 + dw1 * e1) * inv_area * inv_area
@@ -256,7 +256,6 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
     dx2 = -de0 * (y1 - pv) + de1 * (y0 - pv) - darea * (y1 - y0)
     dy2 = de0 * (x1 - pu) - de1 * (x0 - pu) + darea * (x1 - x0)
 
-    # ---- prob backward --------------------------------------------------
     if with_prob:
         dP = dprob_ref[0].reshape(P)
         d01 = _seg_d2(pu, pv, x0, y0, x1, y1)
@@ -266,14 +265,13 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
         p_face = jnp.where(inside, 1.0, jnp.exp(-d2 / (sigma_px ** 2)))
         p_face = jnp.where(val, p_face, 0.0)
         one_m = 1.0 - p_face
-        T = jnp.exp(jnp.sum(jnp.log(jnp.maximum(one_m, 1e-38)), axis=-1))  # (P,)
-        loo = jnp.where(one_m > 1e-6, T[:, None] / jnp.maximum(one_m, 1e-6),
-                        0.0)
-        dp_face = dP[:, None] * loo                   # dP/dp_k (sign: P=1-prod)
+        T = jnp.exp(jnp.sum(jnp.log(jnp.maximum(one_m, 1e-38)), axis=-1))
+        loo = jnp.where(one_m > 1e-6,
+                        T[:, None] / jnp.maximum(one_m, 1e-6), 0.0)
+        dp_face = dP[:, None] * loo
         outside = jnp.logical_not(inside) & val
         dd2 = jnp.where(outside, -p_face / (sigma_px ** 2) * dp_face, 0.0)
 
-        # route d2 to the argmin segment; envelope theorem for clipped t
         def seg_bwd(dd, ax, ay, bx, by, active):
             abx, aby = bx - ax, by - ay
             apx, apy = pu - ax, pv - ay
@@ -283,11 +281,10 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
             rx = apx - tt * abx
             ry = apy - tt * aby
             ddm = dd * active
-            dax = -2.0 * rx * (1.0 - tt) * ddm
-            day = -2.0 * ry * (1.0 - tt) * ddm
-            dbx = -2.0 * rx * tt * ddm
-            dby = -2.0 * ry * tt * ddm
-            return dax, day, dbx, dby
+            return (-2.0 * rx * (1.0 - tt) * ddm,
+                    -2.0 * ry * (1.0 - tt) * ddm,
+                    -2.0 * rx * tt * ddm,
+                    -2.0 * ry * tt * ddm)
 
         m01 = ((d01 <= d12) & (d01 <= d20)).astype(jnp.float32)
         m12 = ((d12 < d01) & (d12 <= d20)).astype(jnp.float32)
@@ -302,10 +299,10 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
         dx2 = dx2 + a12[2] + a20[0]
         dy2 = dy2 + a12[3] + a20[1]
 
-    zero = jnp.zeros((K,), jnp.float32)
-    dgeo_ref[0] = jnp.stack(
-        [dx0.sum(0), dy0.sum(0), dx1.sum(0), dy1.sum(0), dx2.sum(0),
-         dy2.sum(0), dzme, zero], axis=-1)
+    dgeo_ref[0] = jnp.concatenate(
+        [dx0.sum(0)[None], dy0.sum(0)[None], dx1.sum(0)[None],
+         dy1.sum(0)[None], dx2.sum(0)[None], dy2.sum(0)[None], dzme,
+         jnp.zeros((1, K), jnp.float32)], axis=0)       # (8, K)
 
 
 # ---------------------------------------------------------------------------
@@ -314,80 +311,72 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def fine_raster(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
-    """cgeo (T,K,8); czin (T,K,3); catt (T,K,3D); tw = tiles per row,
-    Tt = tiles per image (grid rows are batch-major: tile i belongs to image
-    i // Tt at in-image tile i % Tt). Returns (mask, prob, depth (T,tp,tp),
-    attr (T,tp,tp,D), best (T,tp,tp) int32)."""
-    return _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt)
+    """K-minor candidate data: cgeo (T, 8, K) rows [x0,y0,x1,y1,x2,y2,zmean,
+    valid]; czin (T, 3, K); catt (T, 3D, K). tw = tiles per image row, Tt =
+    tiles per image (grid is batch-major). tp*tp must be a multiple of 128.
+    Returns (mask, prob, depth (T, P/128, 128), attr (T, D, P/128, 128),
+    best (T, P/128, 128) int32)."""
+    return _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp,
+                     tw, Tt)
+
+
+def _specs(K, D, tp):
+    P8 = (tp * tp) // LANE
+    ib3 = lambda i: (i, 0, 0)
+    ib4 = lambda i: (i, 0, 0, 0)
+    ins = [
+        pl.BlockSpec((1, 8, K), ib3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, K), ib3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * D, K), ib3, memory_space=pltpu.VMEM),
+    ]
+    pix = pl.BlockSpec((1, P8, LANE), ib3, memory_space=pltpu.VMEM)
+    attr = pl.BlockSpec((1, D, P8, LANE), ib4, memory_space=pltpu.VMEM)
+    return ins, pix, attr
 
 
 def _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
-    T, K, _ = cgeo.shape
+    T, _, K = cgeo.shape
+    assert (tp * tp) % LANE == 0, tp
+    P8 = (tp * tp) // LANE
     kern = partial(_fine_fwd_kernel, tp=tp, K=K, D=D, sigma_px=sigma_px,
                    with_prob=with_prob, persp=persp, tw=tw, Tt=Tt)
+    ins, pix, attr = _specs(K, D, tp)
     out_shape = (
-        jax.ShapeDtypeStruct((T, tp, tp), jnp.float32),       # mask
-        jax.ShapeDtypeStruct((T, tp, tp), jnp.float32),       # prob
-        jax.ShapeDtypeStruct((T, tp, tp), jnp.float32),       # depth
-        jax.ShapeDtypeStruct((T, tp, tp, D), jnp.float32),    # attr
-        jax.ShapeDtypeStruct((T, tp, tp), jnp.int32),         # best
+        jax.ShapeDtypeStruct((T, P8, LANE), jnp.float32),       # mask
+        jax.ShapeDtypeStruct((T, P8, LANE), jnp.float32),       # prob
+        jax.ShapeDtypeStruct((T, P8, LANE), jnp.float32),       # depth
+        jax.ShapeDtypeStruct((T, D, P8, LANE), jnp.float32),    # attr
+        jax.ShapeDtypeStruct((T, P8, LANE), jnp.int32),         # best
     )
-    grid = (T,)
-    ib = lambda i: (i, 0, 0)
     return pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, K, 8), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 3), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 3 * D), ib, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, tp, tp), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, tp), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, tp), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, tp, D), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, tp), ib, memory_space=pltpu.VMEM),
-        ),
+        kern, grid=(T,), in_specs=ins,
+        out_specs=(pix, pix, pix, attr, pix),
         out_shape=out_shape,
     )(cgeo, czin, catt)
 
 
 def _fine_fwd_rule(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
-    outs = _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt)
+    outs = _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp,
+                     tw, Tt)
     return outs, (cgeo, czin, catt)
 
 
 def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, tw, Tt, res, grads):
     cgeo, czin, catt = res
     dmask, dprob, ddepth, dattr, dbest = grads
-    T, K, _ = cgeo.shape
+    T, _, K = cgeo.shape
     kern = partial(_fine_bwd_kernel, tp=tp, K=K, D=D, sigma_px=sigma_px,
                    with_prob=with_prob, persp=persp, tw=tw, Tt=Tt)
-    ib = lambda i: (i, 0, 0)
+    ins, pix, attr = _specs(K, D, tp)
     out_shape = (
-        jax.ShapeDtypeStruct((T, K, 8), jnp.float32),
-        jax.ShapeDtypeStruct((T, K, 3), jnp.float32),
-        jax.ShapeDtypeStruct((T, K, 3 * D), jnp.float32),
+        jax.ShapeDtypeStruct((T, 8, K), jnp.float32),
+        jax.ShapeDtypeStruct((T, 3, K), jnp.float32),
+        jax.ShapeDtypeStruct((T, 3 * D, K), jnp.float32),
     )
     dgeo, dzin, datt = pl.pallas_call(
-        kern,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, K, 8), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 3), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 3 * D), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, tp), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, tp), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, tp, D), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, K, 8), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 3), ib, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 3 * D), ib, memory_space=pltpu.VMEM),
-        ),
+        kern, grid=(T,),
+        in_specs=ins + [pix, pix, attr],
+        out_specs=tuple(ins),
         out_shape=out_shape,
     )(cgeo, czin, catt, dprob, ddepth, dattr)
     return dgeo, dzin, datt

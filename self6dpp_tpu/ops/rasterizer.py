@@ -197,14 +197,9 @@ def _point_tri_dist2(pu, pv, x0, y0, x1, y1, x2, y2):
     return jnp.minimum(jnp.minimum(d01, d12), d20)
 
 
-def _rasterize_fine_pallas(cand, v2d_f, zmean_f, zinv_f, attr_f, valid_f,
-                           height, width, tile_px, sigma_px, zbuf_mode,
-                           with_prob):
-    """Pallas fine stage: pre-gather candidate data, run the fused kernel
-    (ops/raster_pallas.py), reshape tiles back to the image."""
-    from .raster_pallas import fine_raster
-    th = -(-height // tile_px)
-    tw = -(-width // tile_px)
+def _pack_candidates(cand, v2d_f, zmean_f, zinv_f, attr_f, valid_f):
+    """Gather per-tile candidate face data into the kernel's K-minor layout:
+    cgeo (T, 8, K), czin (T, 3, K), catt (T, 3D, K)."""
     T, K = cand.shape
     D = attr_f.shape[-1]
     safe = jnp.maximum(cand, 0)
@@ -214,9 +209,38 @@ def _rasterize_fine_pallas(cand, v2d_f, zmean_f, zinv_f, attr_f, valid_f,
     cgeo = jnp.concatenate([cv2d, czme, cval], axis=-1)          # (T,K,8)
     czin = zinv_f[safe]                                          # (T,K,3)
     catt = attr_f[safe].reshape(T, K, 3 * D)
+    return (jnp.swapaxes(cgeo, 1, 2), jnp.swapaxes(czin, 1, 2),
+            jnp.swapaxes(catt, 1, 2))
+
+
+def _unpack_pixels(x, tile_px):
+    """(T, [D,] P/128, 128) -> (T, tp, tp[, D])."""
+    T = x.shape[0]
+    if x.ndim == 4:            # attr (T, D, P8, LANE)
+        D = x.shape[1]
+        return jnp.moveaxis(x.reshape(T, D, tile_px, tile_px), 1, -1)
+    return x.reshape(T, tile_px, tile_px)
+
+
+def _rasterize_fine_pallas(cand, v2d_f, zmean_f, zinv_f, attr_f, valid_f,
+                           height, width, tile_px, sigma_px, zbuf_mode,
+                           with_prob):
+    """Pallas fine stage: pre-gather candidate data, run the fused kernel
+    (ops/raster_pallas.py), reshape tiles back to the image."""
+    from .raster_pallas import fine_raster
+    tw = -(-width // tile_px)
+    T, K = cand.shape
+    D = attr_f.shape[-1]
+    cgeo, czin, catt = _pack_candidates(cand, v2d_f, zmean_f, zinv_f,
+                                        attr_f, valid_f)
     mask, prob, depth, attr, best = fine_raster(
         cgeo, czin, catt, tile_px, D, sigma_px, with_prob,
         zbuf_mode == "persp", tw, T)
+    mask = _unpack_pixels(mask, tile_px)
+    prob = _unpack_pixels(prob, tile_px)
+    depth = _unpack_pixels(depth, tile_px)
+    attr = _unpack_pixels(attr, tile_px)
+    best = _unpack_pixels(best, tile_px)
     face_id = jnp.where(
         best >= 0,
         jnp.take_along_axis(cand, jnp.maximum(best, 0).reshape(T, -1),
@@ -347,14 +371,9 @@ def _rasterize_batch_pallas(
             valid_f = valid_f & (area2 < 0)
         cand = _bin_faces(v2d_f, valid_f, height, width, tile_px,
                           faces_per_tile)
-        Kc = cand.shape[1]
-        safe = jnp.maximum(cand, 0)
-        cgeo = jnp.concatenate([
-            v2d_f[safe].reshape(Tt, Kc, 6),
-            zmean_f[safe][..., None],
-            (valid_f[safe] & (cand >= 0)).astype(jnp.float32)[..., None],
-        ], axis=-1)
-        return cand, cgeo, zinv_f[safe], attr_f[safe].reshape(Tt, Kc, 3 * D)
+        cgeo, czin, catt = _pack_candidates(cand, v2d_f, zmean_f, zinv_f,
+                                            attr_f, valid_f)
+        return cand, cgeo, czin, catt
 
     bcast = lambda x, nd: (0 if x.ndim > nd else None)
     in_axes = (bcast(verts, 2), bcast(faces, 2), bcast(attrs, 2),
@@ -364,9 +383,14 @@ def _rasterize_batch_pallas(
 
     Kc = cand.shape[-1]
     mask, prob, depth, attr, best = fine_raster(
-        cgeo.reshape(B * Tt, Kc, 8), czin.reshape(B * Tt, Kc, 3),
-        catt.reshape(B * Tt, Kc, 3 * D), tile_px, D, sigma_px, with_prob,
+        cgeo.reshape(B * Tt, 8, Kc), czin.reshape(B * Tt, 3, Kc),
+        catt.reshape(B * Tt, 3 * D, Kc), tile_px, D, sigma_px, with_prob,
         zbuf_mode == "persp", tw, Tt)
+    mask = _unpack_pixels(mask, tile_px)
+    prob = _unpack_pixels(prob, tile_px)
+    depth = _unpack_pixels(depth, tile_px)
+    attr = _unpack_pixels(attr, tile_px)
+    best = _unpack_pixels(best, tile_px)
     face_id = jnp.where(
         best >= 0,
         jnp.take_along_axis(cand.reshape(B * Tt, Kc),

@@ -36,7 +36,7 @@ def render(impl, verts, faces, attrs, t, with_prob=True):
     return Rz.rasterize_single(
         jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(attrs),
         jnp.asarray(K), jnp.asarray(EYE), jnp.asarray(t, dtype=jnp.float32),
-        height=H, width=W, tile_px=8, faces_per_tile=16,
+        height=H, width=W, tile_px=16, faces_per_tile=16,
         with_prob=with_prob, impl=impl)
 
 
@@ -114,7 +114,7 @@ class TestBatchedPallas:
         t = jnp.asarray([[0.02, -0.01, 1.0], [0.0, 0.05, 1.3]])
         R = jnp.broadcast_to(jnp.eye(3), (2, 3, 3)).astype(jnp.float32)
         Kb = jnp.broadcast_to(jnp.asarray(K), (2, 3, 3))
-        kw = dict(height=H, width=W, tile_px=8, faces_per_tile=16)
+        kw = dict(height=H, width=W, tile_px=16, faces_per_tile=16)
         a = Rz.rasterize_batch(jnp.asarray(verts), jnp.asarray(faces),
                                jnp.asarray(verts), Kb, R, t, impl="xla", **kw)
         b = Rz.rasterize_batch(jnp.asarray(verts), jnp.asarray(faces),
@@ -133,7 +133,7 @@ class TestBatchedPallas:
         def loss(t, impl):
             out = Rz.rasterize_batch(
                 jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(verts),
-                Kb, R, t, height=H, width=W, tile_px=8, faces_per_tile=16,
+                Kb, R, t, height=H, width=W, tile_px=16, faces_per_tile=16,
                 impl=impl)
             return (out.attr ** 2).sum() + out.prob.sum() * 1e-2
 
