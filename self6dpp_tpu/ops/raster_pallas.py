@@ -105,32 +105,34 @@ def _fine_fwd_kernel(cgeo_ref, czin_ref, catt_ref,
     b0, b1, b2 = b0 / bs, b1 / bs, b2 / bs
 
     att = catt_ref[0]                                 # (3D, K)
-    # contract K lanes of both operands -> (P, 3D) on the MXU
-    wsel = jax.lax.dot_general(onehot, att, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    a0 = wsel[:, 0:D]
-    a1 = wsel[:, D:2 * D]
-    a2 = wsel[:, 2 * D:3 * D]
+    # (3D, P): contract the K lanes of both operands on the MXU; working
+    # D-major keeps every shape lane-aligned (no in-kernel transposes,
+    # which Mosaic cannot lower for thin shapes)
+    wselT = jax.lax.dot_general(att, onehot, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    a0T = wselT[0:D, :]
+    a1T = wselT[D:2 * D, :]
+    a2T = wselT[2 * D:3 * D, :]
     if persp:
-        zi = jax.lax.dot_general(onehot, czin_ref[0],
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (P,3)
-        p0 = b0 * zi[:, 0]
-        p1 = b1 * zi[:, 1]
-        p2 = b2 * zi[:, 2]
+        ziT = jax.lax.dot_general(czin_ref[0], onehot,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (3,P)
+        p0 = b0 * ziT[0, :]
+        p1 = b1 * ziT[1, :]
+        p2 = b2 * ziT[2, :]
         s = jnp.maximum(p0 + p1 + p2, 1e-12)
-        attr = (a0 * (p0 / s)[:, None] + a1 * (p1 / s)[:, None]
-                + a2 * (p2 / s)[:, None])
+        attrT = (a0T * (p0 / s)[None, :] + a1T * (p1 / s)[None, :]
+                 + a2T * (p2 / s)[None, :])
         depth = 1.0 / s
     else:
-        attr = a0 * b0[:, None] + a1 * b1[:, None] + a2 * b2[:, None]
+        attrT = a0T * b0[None, :] + a1T * b1[None, :] + a2T * b2[None, :]
         depth = sel(jnp.where(inside, zme, 0.0))
 
     covf = covered.astype(jnp.float32)
     P8 = P // LANE
     mask_ref[0] = covf.reshape(P8, LANE)
     depth_ref[0] = (depth * covf).reshape(P8, LANE)
-    attr_ref[0] = (attr * covf[:, None]).T.reshape(D, P8, LANE)
+    attr_ref[0] = (attrT * covf[None, :]).reshape(D, P8, LANE)
     best_ref[0] = jnp.where(covered, best, -1).reshape(P8, LANE).astype(jnp.int32)
 
     if with_prob:
@@ -177,57 +179,62 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
     b0, b1, b2 = c0 / bs, c1 / bs, c2 / bs
 
     att = catt_ref[0]                                 # (3D, K)
-    wsel = jax.lax.dot_general(onehot, att, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    a0 = wsel[:, 0:D]
-    a1 = wsel[:, D:2 * D]
-    a2 = wsel[:, 2 * D:3 * D]
+    wselT = jax.lax.dot_general(att, onehot, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (3D,P)
+    a0T = wselT[0:D, :]
+    a1T = wselT[D:2 * D, :]
+    a2T = wselT[2 * D:3 * D, :]
 
-    dattr = dattr_ref[0].reshape(D, P).T * covered[:, None].astype(jnp.float32)
-    ddep = ddepth_ref[0].reshape(P) * covered.astype(jnp.float32)
+    covfP = covered.astype(jnp.float32)
+    dattrT = dattr_ref[0].reshape(D, P) * covfP[None, :]       # (D, P)
+    ddep = ddepth_ref[0].reshape(P) * covfP
 
     if persp:
-        zi = jax.lax.dot_general(onehot, czin_ref[0],
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        p0 = b0 * zi[:, 0]
-        p1 = b1 * zi[:, 1]
-        p2 = b2 * zi[:, 2]
+        ziT = jax.lax.dot_general(czin_ref[0], onehot,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (3,P)
+        p0 = b0 * ziT[0, :]
+        p1 = b1 * ziT[1, :]
+        p2 = b2 * ziT[2, :]
         s = jnp.maximum(p0 + p1 + p2, 1e-12)
         q0, q1, q2 = p0 / s, p1 / s, p2 / s
-        dq0 = jnp.sum(a0 * dattr, -1)
-        dq1 = jnp.sum(a1 * dattr, -1)
-        dq2 = jnp.sum(a2 * dattr, -1)
-        datt_rows = jnp.concatenate(
-            [q0[:, None] * dattr, q1[:, None] * dattr, q2[:, None] * dattr],
-            axis=-1)                                   # (P, 3D)
+        dq0 = jnp.sum(a0T * dattrT, axis=0)
+        dq1 = jnp.sum(a1T * dattrT, axis=0)
+        dq2 = jnp.sum(a2T * dattrT, axis=0)
+        datt_rowsT = jnp.concatenate(
+            [q0[None, :] * dattrT, q1[None, :] * dattrT,
+             q2[None, :] * dattrT], axis=0)            # (3D, P)
         mixq = q0 * dq0 + q1 * dq1 + q2 * dq2
         ds_extra = -ddep / (s * s)
         dp0 = (dq0 - mixq) / s + ds_extra
         dp1 = (dq1 - mixq) / s + ds_extra
         dp2 = (dq2 - mixq) / s + ds_extra
-        db0 = dp0 * zi[:, 0]
-        db1 = dp1 * zi[:, 1]
-        db2 = dp2 * zi[:, 2]
-        dzi_rows = jnp.stack([dp0 * b0, dp1 * b1, dp2 * b2], axis=-1)  # (P,3)
-        # (3, K) = dzi_rows^T @ oh_cov
+        db0 = dp0 * ziT[0, :]
+        db1 = dp1 * ziT[1, :]
+        db2 = dp2 * ziT[2, :]
+        dzi_rowsT = jnp.concatenate(
+            [(dp0 * b0)[None, :], (dp1 * b1)[None, :],
+             (dp2 * b2)[None, :]], axis=0)             # (3, P)
+        # (3, K) = dzi_rowsT @ oh_cov  (contract P)
         dzin_ref[0] = jax.lax.dot_general(
-            dzi_rows, oh_cov, (((0,), (0,)), ((), ())),
+            dzi_rowsT, oh_cov, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dzme = jnp.zeros((1, K), jnp.float32)
     else:
-        db0 = jnp.sum(a0 * dattr, -1)
-        db1 = jnp.sum(a1 * dattr, -1)
-        db2 = jnp.sum(a2 * dattr, -1)
-        datt_rows = jnp.concatenate(
-            [b0[:, None] * dattr, b1[:, None] * dattr, b2[:, None] * dattr],
-            axis=-1)
+        db0 = jnp.sum(a0T * dattrT, axis=0)
+        db1 = jnp.sum(a1T * dattrT, axis=0)
+        db2 = jnp.sum(a2T * dattrT, axis=0)
+        datt_rowsT = jnp.concatenate(
+            [b0[None, :] * dattrT, b1[None, :] * dattrT,
+             b2[None, :] * dattrT], axis=0)
         dzin_ref[0] = jnp.zeros((3, K), jnp.float32)
-        dzme = jnp.sum(oh_cov * ddep[:, None], axis=0)[None, :]
+        dzme = jax.lax.dot_general(
+            ddep[None, :], oh_cov, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (1, K)
 
-    # (3D, K) = datt_rows^T @ oh_cov
+    # (3D, K) = datt_rowsT @ oh_cov  (contract P)
     datt_ref[0] = jax.lax.dot_general(
-        datt_rows, oh_cov, (((0,), (0,)), ((), ())),
+        datt_rowsT, oh_cov, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     # bary normalization/clip chain back to raw w
