@@ -186,8 +186,8 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
     a2T = wselT[2 * D:3 * D, :]
 
     covfP = covered.astype(jnp.float32)
-    dattrT = dattr_ref[0].reshape(D, P) * covfP[None, :]       # (D, P)
-    ddep = ddepth_ref[0].reshape(P) * covfP
+    dattrT = dattr_ref[0] * covfP[None, :]                     # (D, P)
+    ddep = ddepth_ref[0][:, 0] * covfP
 
     if persp:
         ziT = jax.lax.dot_general(czin_ref[0], onehot,
@@ -264,7 +264,7 @@ def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
     dy2 = de0 * (x1 - pu) - de1 * (x0 - pu) + darea * (x1 - x0)
 
     if with_prob:
-        dP = dprob_ref[0].reshape(P)
+        dP = dprob_ref[0][:, 0]
         d01 = _seg_d2(pu, pv, x0, y0, x1, y1)
         d12 = _seg_d2(pu, pv, x1, y1, x2, y2)
         d20 = _seg_d2(pu, pv, x2, y2, x0, y0)
@@ -375,6 +375,12 @@ def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, tw, Tt, res, grads):
     kern = partial(_fine_bwd_kernel, tp=tp, K=K, D=D, sigma_px=sigma_px,
                    with_prob=with_prob, persp=persp, tw=tw, Tt=Tt)
     ins, pix, attr = _specs(K, D, tp)
+    P = tp * tp
+    ib3 = lambda i: (i, 0, 0)
+    # grads enter the kernel in cast-free layouts: pixel grads (T, P, 1)
+    # (sliced to (P,) in-kernel), attr grads (T, D, P)
+    pix_g = pl.BlockSpec((1, P, 1), ib3, memory_space=pltpu.VMEM)
+    attr_g = pl.BlockSpec((1, D, P), ib3, memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((T, 8, K), jnp.float32),
         jax.ShapeDtypeStruct((T, 3, K), jnp.float32),
@@ -382,10 +388,12 @@ def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, tw, Tt, res, grads):
     )
     dgeo, dzin, datt = pl.pallas_call(
         kern, grid=(T,),
-        in_specs=ins + [pix, pix, attr],
+        in_specs=ins + [pix_g, pix_g, attr_g],
         out_specs=tuple(ins),
         out_shape=out_shape,
-    )(cgeo, czin, catt, dprob, ddepth, dattr)
+    )(cgeo, czin, catt,
+      dprob.reshape(T, P, 1), ddepth.reshape(T, P, 1),
+      dattr.reshape(T, D, P))
     return dgeo, dzin, datt
 
 
