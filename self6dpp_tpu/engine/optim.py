@@ -79,11 +79,45 @@ def _lookahead_wrap(inner: optax.GradientTransformation, sync_period: int = 6,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _madgrad(lr_sched, momentum: float = 0.9,
+             eps: float = 1e-6) -> optax.GradientTransformation:
+    """MADGRAD (Defazio & Jelassi 2021) — dual-averaged adaptive method
+    (reference registers it from lib/torch_utils/solver/, solver_utils.py:28-59).
+
+    s_k += λ_k g ; ν_k += λ_k g² with λ_k = lr·sqrt(k+1);
+    z = x₀ - s / (ν^{1/3} + eps); x ← (1-c)x + c·z.
+    """
+
+    def init_fn(params):
+        z = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        s = jax.tree.map(jnp.zeros_like, params)
+        v = jax.tree.map(jnp.zeros_like, params)
+        return {"x0": z, "s": s, "v": v, "count": jnp.zeros([], jnp.int32)}
+
+    def update_fn(grads, state, params):
+        k = state["count"]
+        lam = lr_sched(k) * jnp.sqrt(k.astype(jnp.float32) + 1.0)
+        s = jax.tree.map(lambda a, g: a + lam * g, state["s"], grads)
+        v = jax.tree.map(lambda a, g: a + lam * g * g, state["v"], grads)
+        z = jax.tree.map(
+            lambda x0, ss, vv: x0 - ss / (jnp.cbrt(jnp.maximum(vv, 0.0)) + eps),
+            state["x0"], s, v)
+        new_x = jax.tree.map(lambda x, zz: (1 - momentum) * zz + momentum * x,
+                             params, z)
+        updates = jax.tree.map(lambda nx, x: nx - x, new_x, params)
+        return updates, {"x0": state["x0"], "s": s, "v": v, "count": k + 1}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(cfg: SolverConfig) -> tuple[optax.GradientTransformation, Callable]:
     """Returns (tx, lr_schedule). Gradient accumulation to reference_bs is
     applied via optax.MultiSteps (reference main_gdrn.py:87-121)."""
     if cfg.lr_sched == "flat_and_anneal":
         sched = flat_and_anneal(cfg)
+    elif cfg.lr_sched == "warmup_multistep":
+        from .schedule import warmup_multistep
+        sched = warmup_multistep(cfg)
     else:
         sched = lambda step: cfg.base_lr
 
@@ -102,6 +136,8 @@ def build_optimizer(cfg: SolverConfig) -> tuple[optax.GradientTransformation, Ca
         core = optax.sgd(sched, momentum=cfg.momentum)
     elif name == "sgd_gc":
         core = optax.chain(_gradient_centralization(), optax.sgd(sched, momentum=cfg.momentum))
+    elif name == "madgrad":
+        core = _madgrad(sched, momentum=cfg.momentum)
     else:
         raise ValueError(f"unknown optimizer: {cfg.optimizer}")
 

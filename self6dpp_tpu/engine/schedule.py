@@ -49,3 +49,22 @@ def flat_and_anneal(cfg: SolverConfig):
         return cfg.base_lr * wf * af
 
     return sched
+
+
+def warmup_multistep(cfg: SolverConfig):
+    """WarmupMultiStepLR parity (lib/torch_utils/solver/lr_scheduler.py:105):
+    linear warmup then gamma decay at each milestone (cfg.steps are relative
+    positions of total_iters)."""
+    total = max(cfg.total_iters, 1)
+    milestones = [s * total for s in cfg.steps]
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        alpha = jnp.clip(step / max(cfg.warmup_iters, 1), 0.0, 1.0)
+        wf = cfg.warmup_factor * (1 - alpha) + alpha
+        f = jnp.asarray(1.0)
+        for m in milestones:
+            f = f * jnp.where(step >= m, cfg.step_gamma, 1.0)
+        return cfg.base_lr * wf * f
+
+    return sched

@@ -431,6 +431,32 @@ def render_color(verts, faces, colors, K, R, t, height, width, **kw):
             "depth": out.depth}
 
 
+def render_textured(verts, faces, uv, texture, K, R, t, height, width, **kw):
+    """Texture-mapped rendering (DIB-R TexRender parity,
+    renderer/texrender*.py): rasterize per-vertex UVs, then bilinearly sample
+    the texture — both steps differentiable (grads flow to vertices, UVs and
+    texels).
+
+    uv (V, 2) in [0,1] (v down); texture (Ht, Wt, 3) shared or (B, Ht, Wt, 3).
+    """
+    out = rasterize_batch(verts, faces, uv, K, R, t,
+                          height=height, width=width, **kw)
+    us = out.attr[..., 0]
+    vs = out.attr[..., 1]
+    tex = texture if texture.ndim == 4 else jnp.broadcast_to(
+        texture, (out.mask.shape[0],) + texture.shape)
+    ht, wt = tex.shape[1], tex.shape[2]
+
+    from .zoom import _bilinear_sample
+    def sample(texture_i, u_i, v_i):
+        return _bilinear_sample(texture_i, u_i * (wt - 1), v_i * (ht - 1))
+
+    color = jax.vmap(sample)(tex, us, vs)
+    color = color * out.mask[..., None]
+    return {"color": color, "prob": out.prob, "mask": out.mask,
+            "depth": out.depth}
+
+
 def compute_vertex_normals(verts: Array, faces: Array) -> Array:
     """Area-weighted vertex normals (for normal-map rendering)."""
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]

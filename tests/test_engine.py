@@ -126,3 +126,24 @@ def test_eval_step_with_ema():
     out = ev(state, batch)
     assert out["rot"].shape == (4, 3, 3)
     assert out["trans"].shape == (4, 3)
+
+
+def test_madgrad_and_multistep():
+    from self6dpp_tpu.engine.schedule import warmup_multistep
+    cfg = SolverConfig(optimizer="madgrad", base_lr=1e-2, total_iters=100,
+                       warmup_iters=10, warmup_factor=0.1,
+                       lr_sched="warmup_multistep", steps=(0.5,),
+                       step_gamma=0.1, grad_clip_norm=0)
+    s = warmup_multistep(cfg)
+    assert float(s(0)) == pytest.approx(1e-3)
+    assert float(s(20)) == pytest.approx(1e-2)
+    assert float(s(60)) == pytest.approx(1e-3)
+    tx, _ = build_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    st = tx.init(params)
+    g = {"w": jnp.full((4,), 0.5)}
+    for _ in range(5):
+        up, st = tx.update(g, st, params)
+        params = jax.tree.map(lambda p, u: p + u, params, up)
+    assert np.isfinite(np.asarray(params["w"])).all()
+    assert float(params["w"][0]) < 1.0      # moved toward minimum

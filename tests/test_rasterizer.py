@@ -178,3 +178,43 @@ class TestSoftMode:
 
         g = jax.grad(loss)(jnp.asarray(0.3))
         assert np.isfinite(float(g))
+
+
+class TestTexturedRender:
+    def test_texture_sampling(self):
+        """Quad with UVs spanning the texture: left half red, right green."""
+        verts, faces = make_quad(size=0.5)
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)
+        tex = np.zeros((8, 8, 3), np.float32)
+        tex[:, :4, 0] = 1.0       # left half red
+        tex[:, 4:, 1] = 1.0       # right half green
+        out = Rz.render_textured(
+            jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(uv),
+            jnp.asarray(tex), jnp.asarray(K)[None],
+            jnp.broadcast_to(jnp.eye(3), (1, 3, 3)).astype(jnp.float32),
+            jnp.asarray([[0.0, 0.0, 1.0]]), height=H, width=W,
+            tile_px=16, faces_per_tile=16)
+        c = np.asarray(out["color"][0])
+        m = np.asarray(out["mask"][0])
+        assert m[32, 32] == 1
+        # left side of the quad (u<0.5) red, right green
+        assert c[32, 20, 0] > 0.9 and c[32, 20, 1] < 0.1
+        assert c[32, 44, 1] > 0.9 and c[32, 44, 0] < 0.1
+
+    def test_texture_grad(self):
+        verts, faces = make_quad(size=0.5)
+        uv = jnp.asarray(np.array([[0, 0], [1, 0], [1, 1], [0, 1]],
+                                  dtype=np.float32))
+        tex = jnp.ones((4, 4, 3)) * 0.5
+
+        def loss(tex):
+            out = Rz.render_textured(
+                jnp.asarray(verts), jnp.asarray(faces), uv, tex,
+                jnp.asarray(K)[None],
+                jnp.broadcast_to(jnp.eye(3), (1, 3, 3)).astype(jnp.float32),
+                jnp.asarray([[0.0, 0.0, 1.0]]), height=H, width=W,
+                tile_px=16, faces_per_tile=16)
+            return (out["color"] ** 2).sum()
+
+        g = jax.grad(loss)(tex)
+        assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
