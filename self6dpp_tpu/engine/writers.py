@@ -86,6 +86,44 @@ class JSONWriter:
             f.write(json.dumps(row) + "\n")
 
 
+class TensorboardWriter:
+    """Scalar + image TB writer (MyTensorboardXWriter parity,
+    core/utils/my_writer.py) via torch.utils.tensorboard (CPU torch is in
+    the image; degrades to a no-op if the import fails)."""
+
+    def __init__(self, storage: EventStorage, log_dir: str,
+                 log_period: int = 100):
+        self.storage = storage
+        self.log_period = log_period
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.w = SummaryWriter(log_dir=log_dir)
+        except Exception:                                 # pragma: no cover
+            self.w = None
+
+    def write(self) -> None:
+        if self.w is None or self.storage.iter % self.log_period != 0:
+            return
+        for k, v in self.storage.latest().items():
+            self.w.add_scalar(k, v, self.storage.iter)
+
+    def add_image(self, tag: str, img_hwc, step: int | None = None) -> None:
+        """img float [0,1] or uint8 HWC (grid images of gt/ren/pseudo maps,
+        reference self_engine.py:713-746)."""
+        if self.w is None:
+            return
+        import numpy as np
+        img = np.asarray(img_hwc)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        self.w.add_image(tag, img, step or self.storage.iter,
+                         dataformats="HWC")
+
+    def add_text(self, tag: str, text: str, step: int | None = None) -> None:
+        if self.w is not None:
+            self.w.add_text(tag, text, step or self.storage.iter)
+
+
 def setup_logger(output_dir: str | None = None,
                  level: int = logging.INFO) -> logging.Logger:
     """Unified logger (reference lib/utils/setup_logger.py role)."""

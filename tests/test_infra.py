@@ -110,3 +110,16 @@ class TestWriters:
         for v in [1.0, 100.0, 2.0]:
             st.put_scalars(x=v)
         assert st.median("x") == 2.0
+
+
+def test_tensorboard_writer(tmp_path, rng):
+    from self6dpp_tpu.engine.writers import TensorboardWriter
+    st = EventStorage()
+    w = TensorboardWriter(st, str(tmp_path / "tb"), log_period=1)
+    st.iter = 1
+    st.put_scalars(loss=0.5)
+    w.write()
+    w.add_image("vis", rng.uniform(0, 1, (8, 8, 3)))
+    w.add_text("table", "| a | b |")
+    import os
+    assert any(os.scandir(tmp_path / "tb"))
