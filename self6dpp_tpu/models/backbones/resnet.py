@@ -124,6 +124,8 @@ class Bottleneck(nn.Module):
 
 
 _STAGE_SPECS = {
+    # 'micro': 1 basic block per stage at 1/8 width — for fast test compiles
+    "micro": ("basic", (1, 1, 1, 1)),
     "resnet18": ("basic", (2, 2, 2, 2)),
     "resnet34": ("basic", (3, 4, 6, 3)),
     "resnet50": ("bottleneck", (3, 4, 6, 3)),
@@ -164,7 +166,7 @@ class ResNetBackbone(nn.Module):
             x = nn.relu(bn()(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
-        widths = (64, 128, 256, 512)
+        widths = (8, 16, 32, 64) if self.name == "micro" else (64, 128, 256, 512)
         outs = []
         for stage, (w, d) in enumerate(zip(widths, depths), start=1):
             for blk in range(d):

@@ -20,7 +20,7 @@ from self6dpp_tpu.parallel.mesh import make_mesh, shard_batch
 def tiny_cfg(**solver_kw) -> Config:
     model = PoseNetConfig(
         num_classes=2, input_res=32, output_res=8,
-        backbone=BackboneConfig(name="resnet18"),
+        backbone=BackboneConfig(name="micro"),
         geo_head=GeoHeadConfig(feat_dim=16, num_gn_groups=4, num_regions=4),
         pnp_net=PnPNetConfig(featdim=16, num_gn_groups=4),
         loss=LossConfig(),

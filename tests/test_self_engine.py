@@ -23,7 +23,7 @@ from self6dpp_tpu.models.lpips import LPIPS
 def tiny_cfg() -> Config:
     model = PoseNetConfig(
         num_classes=2, input_res=64, output_res=16,
-        backbone=BackboneConfig(name="resnet18"),
+        backbone=BackboneConfig(name="micro"),
         geo_head=GeoHeadConfig(feat_dim=16, num_gn_groups=4, num_regions=4),
         pnp_net=PnPNetConfig(featdim=16, num_gn_groups=4),
         loss=LossConfig(),
