@@ -154,3 +154,24 @@ def load_ply(path: str) -> dict:
                             f.read((n - 3) * int(idx_t[1]))
                 out["faces"] = faces
         return out
+
+
+def save_ply(path: str, verts: np.ndarray, faces: np.ndarray,
+             colors: np.ndarray | None = None) -> None:
+    """Write an ascii PLY (BOP-compatible, mm units expected by loaders)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for i, v in enumerate(verts):
+            row = f"{v[0]} {v[1]} {v[2]}"
+            if colors is not None:
+                c = (np.clip(colors[i], 0, 1) * 255).astype(int)
+                row += f" {c[0]} {c[1]} {c[2]}"
+            f.write(row + "\n")
+        for fc in faces:
+            f.write(f"3 {fc[0]} {fc[1]} {fc[2]}\n")

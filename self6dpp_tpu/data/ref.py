@@ -112,6 +112,14 @@ DATASETS: dict[str, DatasetMeta] = {
         camera_matrix=_YCBV_K, znear=0.25, zfar=6.0,
         sym_objects=("024_bowl", "036_wood_block", "051_large_clamp",
                      "052_extra_large_clamp", "061_foam_brick")),
+    # 2-object synthetic dataset produced by tools/make_synthetic_bop.py —
+    # used by smoke/integration runs when no real BOP data is mounted
+    "synthetic": DatasetMeta(
+        name="lm", objects=("ape", "can"),
+        id2obj={1: "ape", 2: "can"},
+        diameters=(0.21, 0.14), width=160, height=120,
+        camera_matrix=np.array([[160.0, 0, 80], [0, 160.0, 60], [0, 0, 1]],
+                               dtype=np.float32)),
     "hb": DatasetMeta(
         name="hb", objects=tuple(f"obj_{i:02d}" for i in range(1, 34)),
         id2obj={i: f"obj_{i:02d}" for i in range(1, 34)},
