@@ -25,6 +25,9 @@ def parse_args():
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--out-det", default="", help="output detection json")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--input-size", type=int, default=640)
+    p.add_argument("--width", type=float, default=1.0)
+    p.add_argument("--depth", type=float, default=1.0)
     p.add_argument("--opts", nargs="*", default=[])
     return p.parse_args()
 
@@ -56,7 +59,9 @@ def main():
     cfg = apply_overrides(load_config(args.config), args.opts)
     logger = setup_logger(os.path.join(cfg.output_dir, cfg.exp_name))
     meta = get_meta(cfg.data.test_datasets[0])
-    ycfg = YoloConfig(num_classes=meta.num_objects, input_size=640)
+    ycfg = YoloConfig(num_classes=meta.num_objects,
+                      input_size=args.input_size,
+                      width_multiple=args.width, depth_multiple=args.depth)
     model = YOLOv4(cfg=ycfg)
 
     import cv2
