@@ -255,37 +255,39 @@ def yolo_loss(outs: list[Array], targets: Array, tvalid: Array,
                                jnp.where(fy < 0.5, -1.0, 1.0)], -1))
 
         obj_target = jnp.zeros((b, h, w, na), out.dtype)
+        tbox = jnp.concatenate([t_xy, t_wh], -1)[:, :, None, :]  # (B,M,1,4)
+        aidx = jnp.arange(na)[None, None, :]
         for off in offs:
+            # vectorized over anchors: one gather per offset, (B,M,A,...)
             cell = jnp.floor(gxy + off).astype(jnp.int32)        # (B,M,2)
             inb = ((cell[..., 0] >= 0) & (cell[..., 0] < w) &
                    (cell[..., 1] >= 0) & (cell[..., 1] < h))
-            for ai in range(na):
-                sel = match[:, :, ai] & inb                       # (B,M)
-                ci = jnp.clip(cell[..., 0], 0, w - 1)
-                cj = jnp.clip(cell[..., 1], 0, h - 1)
-                # gather predictions at target cells
-                pred = out[jnp.arange(b)[:, None], cj, ci, ai]    # (B,M,no)
-                sig = jax.nn.sigmoid(pred)
-                pxy = sig[..., :2] * 2.0 - 0.5 + cell.astype(out.dtype)
-                pwh = (sig[..., 2:4] * 2.0) ** 2 * anchors[ai]
-                pbox = jnp.concatenate([pxy, pwh], -1)
-                tbox = jnp.concatenate([t_xy, t_wh], -1)
-                ciou = bbox_ciou(pbox, tbox)
-                selm = sel.astype(out.dtype)
-                total_box = total_box + (
-                    (1.0 - ciou) * selm).sum() / jnp.maximum(selm.sum(), 1.0) \
-                    * balance_weight(si)
-                # cls BCE (one-hot)
-                if cfg.num_classes > 1:
-                    onehot = jax.nn.one_hot(t_cls, cfg.num_classes, dtype=out.dtype)
-                    clogit = pred[..., 5:]
-                    bce = jnp.maximum(clogit, 0) - clogit * onehot + \
-                        jnp.log1p(jnp.exp(-jnp.abs(clogit)))
-                    total_cls = total_cls + (
-                        bce.mean(-1) * selm).sum() / jnp.maximum(selm.sum(), 1.0)
-                # objectness target = detached iou (gr=1.0)
-                iou_d = jax.lax.stop_gradient(jnp.clip(ciou, 0.0, 1.0)) * selm
-                obj_target = obj_target.at[jnp.arange(b)[:, None], cj, ci, ai].max(iou_d)
+            sel = match & inb[:, :, None]                         # (B,M,A)
+            ci = jnp.clip(cell[..., 0], 0, w - 1)
+            cj = jnp.clip(cell[..., 1], 0, h - 1)
+            pred = out[jnp.arange(b)[:, None], cj, ci]            # (B,M,A,no)
+            sig = jax.nn.sigmoid(pred)
+            pxy = sig[..., :2] * 2.0 - 0.5 + cell[:, :, None, :].astype(out.dtype)
+            pwh = (sig[..., 2:4] * 2.0) ** 2 * anchors[None, None]
+            pbox = jnp.concatenate([pxy, pwh], -1)                # (B,M,A,4)
+            ciou = bbox_ciou(pbox, tbox)                          # (B,M,A)
+            selm = sel.astype(out.dtype)
+            total_box = total_box + (
+                (1.0 - ciou) * selm).sum() / jnp.maximum(selm.sum(), 1.0) \
+                * balance_weight(si)
+            if cfg.num_classes > 1:
+                onehot = jax.nn.one_hot(t_cls, cfg.num_classes,
+                                        dtype=out.dtype)[:, :, None, :]
+                clogit = pred[..., 5:]
+                bce = jnp.maximum(clogit, 0) - clogit * onehot + \
+                    jnp.log1p(jnp.exp(-jnp.abs(clogit)))
+                total_cls = total_cls + (
+                    bce.mean(-1) * selm).sum() / jnp.maximum(selm.sum(), 1.0)
+            # objectness target = detached iou (gr=1.0)
+            iou_d = jax.lax.stop_gradient(jnp.clip(ciou, 0.0, 1.0)) * selm
+            obj_target = obj_target.at[
+                jnp.arange(b)[:, None, None], cj[:, :, None], ci[:, :, None],
+                aidx].max(iou_d)
 
         ologit = out[..., 4]
         obce = jnp.maximum(ologit, 0) - ologit * obj_target + \
