@@ -99,3 +99,19 @@ class TestRefMeta:
         rots, valid = sym_rotations_from_info(info, max_sym=4)
         assert valid.sum() == 2
         np.testing.assert_allclose(rots[1], np.diag([-1, -1, 1]), atol=1e-6)
+
+
+class TestDebugUtils:
+    def test_check_finite_tree(self):
+        from self6dpp_tpu.utils.debug import check_finite_tree
+        import pytest as _pt
+        check_finite_tree({"a": np.ones(3)})
+        with _pt.raises(FloatingPointError):
+            check_finite_tree({"a": {"b": np.array([1.0, np.nan])}})
+
+    def test_nan_debugging_context(self):
+        from self6dpp_tpu.utils.debug import nan_debugging
+        import jax as _jax
+        with nan_debugging():
+            assert _jax.config.jax_debug_nans
+        assert not _jax.config.jax_debug_nans
