@@ -359,6 +359,8 @@ def _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
         kern, grid=(T,), in_specs=ins,
         out_specs=(pix, pix, pix, attr, pix),
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(cgeo, czin, catt)
 
 
@@ -391,6 +393,8 @@ def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, tw, Tt, res, grads):
         in_specs=ins + [pix_g, pix_g, attr_g],
         out_specs=tuple(ins),
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(cgeo, czin, catt,
       dprob.reshape(T, P, 1), ddepth.reshape(T, P, 1),
       dattr.reshape(T, D, P))
