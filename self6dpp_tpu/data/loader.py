@@ -160,22 +160,31 @@ class GDRNDataset:
                     t: np.ndarray, center, scale, out_res: int):
         """Online GT xyz/mask rendering in the output-res crop frame
         (replaces the EGL path, data_loader.py:498-521)."""
+        import jax
         import jax.numpy as jnp
         from ..ops.rasterizer import rasterize_single
         from ..ops.zoom import zoom_K as _zoom_K
         box = np.array([[center[0] - scale / 2, center[1] - scale / 2,
                          center[0] + scale / 2, center[1] + scale / 2]],
                        np.float32)
-        Kz = np.asarray(_zoom_K(jnp.asarray(K), jnp.asarray(box),
-                                (out_res, out_res)))[0]
-        out = rasterize_single(
-            jnp.asarray(self.models.verts[cls_idx]),
-            jnp.asarray(self.models.faces[cls_idx]),
-            jnp.asarray(self.models.verts[cls_idx]),
-            jnp.asarray(Kz), jnp.asarray(R), jnp.asarray(t),
-            height=out_res, width=out_res, tile_px=8, faces_per_tile=64,
-            with_prob=False)
-        return np.asarray(out.attr), np.asarray(out.mask)
+        # data-pipeline renders run on the host CPU backend so they never
+        # contend with the accelerator (the reference instead spins up an
+        # EGL GPU context per loader worker, data_loader.py:1076)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:            # cpu-only runtime: devices() is cpu
+            cpu = jax.devices()[0]
+        with jax.default_device(cpu):
+            Kz = np.asarray(_zoom_K(jnp.asarray(K), jnp.asarray(box),
+                                    (out_res, out_res)))[0]
+            out = rasterize_single(
+                jnp.asarray(self.models.verts[cls_idx]),
+                jnp.asarray(self.models.faces[cls_idx]),
+                jnp.asarray(self.models.verts[cls_idx]),
+                jnp.asarray(Kz), jnp.asarray(R), jnp.asarray(t),
+                height=out_res, width=out_res, tile_px=8, faces_per_tile=64,
+                with_prob=False)
+            return np.asarray(out.attr), np.asarray(out.mask)
 
     # ------------------------------------------------------------------
     def make_sample(self, ri: int, ii: int) -> dict[str, np.ndarray]:
