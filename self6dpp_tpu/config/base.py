@@ -235,6 +235,9 @@ class DataConfig:
     bg_dir: str = ""
     num_workers: int = 4
     filter_visib_thr: float = 0.0
+    # SISO protocol: restrict train/test to these object names (the reference
+    # ships one config per object, e.g. ..._lm_pbr_100e_ape.py); empty = all
+    object_filter: tuple[str, ...] = ()
     truncate_fg: bool = False
     model_points: int = 512         # FPS-sampled PM-loss points (fixed shape)
     max_sym_rots: int = 32          # padded symmetry rotation set

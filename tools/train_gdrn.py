@@ -40,7 +40,10 @@ def build_dataset(cfg, train: bool, det_file: str = ""):
     meta = get_meta(name)
     split = "train" if train else "test"
     split_dir = os.path.join(cfg.data.dataset_root, meta.name, split)
-    records = load_bop_split(split_dir,
+    obj_ids = None
+    if cfg.data.object_filter:
+        obj_ids = {meta.obj2id[o] for o in cfg.data.object_filter}
+    records = load_bop_split(split_dir, obj_ids=obj_ids,
                              visib_thresh=cfg.data.filter_visib_thr)
     if det_file:
         records = inject_detections(records, load_detections(det_file),
