@@ -1,0 +1,65 @@
+"""Trainer loop: periodic checkpoints, metric files, resume, NaN guard."""
+
+import itertools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from self6dpp_tpu.config.base import Config, SolverConfig
+from self6dpp_tpu.engine.optim import build_optimizer
+from self6dpp_tpu.engine.train_state import create_train_state
+from self6dpp_tpu.engine.trainer import do_train
+
+
+def _setup(tmp_path, total_iters=6, ckpt_period=3):
+    cfg = Config(
+        exp_name="t", output_dir=str(tmp_path),
+        solver=SolverConfig(optimizer="adam", base_lr=0.1, warmup_iters=0,
+                            total_iters=total_iters),
+        ckpt_period=ckpt_period, log_period=2)
+    params = {"w": jnp.ones((4,))}
+    tx, _ = build_optimizer(cfg.solver)
+    state = create_train_state(params, {}, tx, with_ema=False)
+
+    def train_step(state, batch, rng):
+        def loss_fn(p):
+            return ((p["w"] - batch["target"]) ** 2).sum()
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"total_loss": loss}
+
+    batches = itertools.repeat({"target": np.zeros(4, np.float32)})
+    return cfg, state, jax.jit(train_step), batches
+
+
+def test_trainer_runs_and_checkpoints(tmp_path):
+    cfg, state, step, batches = _setup(tmp_path)
+    out = do_train(cfg, state, step, batches,
+                   lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+                   resume=False)
+    assert int(out.step) == 6
+    assert float(out.params["w"][0]) < 1.0
+    assert os.path.exists(tmp_path / "t" / "metrics.json")
+    ckpts = os.listdir(tmp_path / "t" / "ckpt")
+    assert "6" in ckpts                   # final forced save
+
+    # resume continues from the checkpoint without redoing iterations
+    cfg2, state2, step2, batches2 = _setup(tmp_path)
+    out2 = do_train(cfg2, state2, step2, batches2,
+                    lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+                    resume=True)
+    assert int(out2.step) == 6            # nothing left to do
+
+
+def test_trainer_nan_guard(tmp_path):
+    cfg, state, _, batches = _setup(tmp_path / "nan")
+
+    def bad_step(state, batch, rng):
+        return state, {"total_loss": jnp.asarray(float("nan"))}
+
+    with pytest.raises(FloatingPointError):
+        do_train(cfg, state, bad_step, batches,
+                 lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+                 resume=False)
