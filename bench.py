@@ -51,7 +51,7 @@ def bench_render_and_compare(batch_size: int = 8, iters: int = 20) -> dict:
             pseudo_trans_lw=1.0),
         # 32px tiles: 2.3x faster kernel; safe for the <2k-face bench meshes
         # (K=128 candidates per 32px tile; denser meshes should use 16)
-        renderer=RendererConfig(tile_px=32))
+        renderer=RendererConfig(tile_px=32, faces_per_tile=128))
 
     model = ge.build_gdrn(cfg)
     batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(cfg, batch_size).items()}

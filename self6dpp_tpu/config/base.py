@@ -273,7 +273,9 @@ class RendererConfig:
     sigma: float = 1.0 / 7000.0
     gamma: float = 1.0 / 7000.0
     max_faces: int = 8192           # static per-object face budget
-    tile_px: int = 16
+    tile_px: int = 16               # 32 + faces_per_tile=256 is fastest for
+                                    # <=5k-face meshes (BENCH_NOTES.md)
+    faces_per_tile: int = 128       # K candidates per tile (lane multiple)
     impl: str = "auto"              # auto | xla | pallas (fused TPU kernel)
 
 

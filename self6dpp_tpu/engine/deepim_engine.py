@@ -71,7 +71,7 @@ def make_refine_fn(cfg: Config, model: DeepIM, n_iter: int,
     if impl == "auto":
         impl = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
     rkw = dict(tile_px=cfg.renderer.tile_px,
-               faces_per_tile=min(cfg.renderer.max_faces, 128),
+               faces_per_tile=cfg.renderer.faces_per_tile,
                sigma_px=1.0, with_prob=False,  # DeepIM needs hard renders only
                impl=impl)
     if raster_kw:

@@ -62,7 +62,7 @@ def render_student_pose(cfg: Config, batch: dict[str, Array], rot: Array,
     out = rasterize_batch(
         verts, faces, colors, Kz, rot, trans, height=s, width=s,
         tile_px=cfg.renderer.tile_px,
-        faces_per_tile=min(cfg.renderer.max_faces, 128),
+        faces_per_tile=cfg.renderer.faces_per_tile,
         sigma_px=soft_sigma, impl=impl)
     return {"color": out.attr, "prob": out.prob, "mask": out.mask,
             "depth": out.depth}
