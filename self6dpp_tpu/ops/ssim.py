@@ -21,29 +21,17 @@ def _gaussian_kernel(size: int, sigma: float) -> Array:
     return g / g.sum()
 
 
-def _band_matrix(n: int, win: Array) -> Array:
-    """(n-k+1, n) banded matrix implementing a valid-padding 1D filter."""
-    k = win.shape[0]
-    m = n - k + 1
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
-    off = cols - rows
-    inband = (off >= 0) & (off < k)
-    return jnp.where(inband, win[jnp.clip(off, 0, k - 1)], 0.0)
-
-
 def _blur(x: Array, win: Array) -> Array:
-    """Separable gaussian filter, valid padding. x (B, H, W, C).
-
-    Implemented as two banded-matrix contractions instead of grouped convs:
-    3-channel depthwise convs leave the MXU idle on TPU, while
-    (H', H) @ (H, W·C) einsums run at full matmul throughput.
-    """
-    b, h, w, c = x.shape
-    gh = _band_matrix(h, win)                           # (h', h)
-    gw = _band_matrix(w, win)                           # (w', w)
-    x = jnp.einsum("uh,bhwc->buwc", gh, x)
-    x = jnp.einsum("vw,buwc->buvc", gw, x)
+    """Separable gaussian filter, valid padding. x (B, H, W, C)."""
+    c = x.shape[-1]
+    kh = win[:, None, None, None]                       # (k,1,1,1)
+    kw = win[None, :, None, None]
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(kh, (1, 1, 1, c)), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(kw, (1, 1, 1, c)), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
     return x
 
 
