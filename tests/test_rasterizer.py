@@ -218,3 +218,28 @@ class TestTexturedRender:
 
         g = jax.grad(loss)(tex)
         assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+class TestWrappers:
+    def test_render_xyz_mask_depth(self):
+        verts, faces = make_cube(size=0.3)
+        out = Rz.render_xyz_mask_depth(
+            jnp.asarray(verts), jnp.asarray(faces),
+            jnp.asarray(K)[None],
+            jnp.broadcast_to(jnp.eye(3), (1, 3, 3)).astype(jnp.float32),
+            jnp.asarray([[0.0, 0.0, 1.0]]), height=H, width=W,
+            tile_px=16, faces_per_tile=32)
+        assert set(out) == {"xyz", "mask", "depth", "prob"}
+        m = np.asarray(out["mask"][0])
+        xyz = np.asarray(out["xyz"][0])
+        # xyz attr inside mask stays within the cube extents
+        assert np.abs(xyz[m > 0]).max() <= 0.15 + 1e-5
+
+    def test_compute_vertex_normals_sphere(self):
+        verts, faces = make_icosphere(radius=0.1, subdivisions=1)
+        n = np.asarray(Rz.compute_vertex_normals(jnp.asarray(verts),
+                                                 jnp.asarray(faces)))
+        # sphere normals ~ radial directions
+        rad = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+        cos = (n * rad).sum(1)
+        assert cos.min() > 0.9
