@@ -178,3 +178,30 @@ def test_resnest_backbone_smoke():
     variables = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(variables, x)
     assert y.shape == (1, 2, 2, 2048)
+
+
+def test_mtl_uncertainty_weighting():
+    """USE_MTL path: log-var params reweight losses (GDRN.py:493-497)."""
+    import jax.numpy as jnp
+    from self6dpp_tpu.losses.gdrn_loss import gdrn_loss
+    cfg = tiny_cfg()
+    model = GDRN(cfg=cfg.model)
+    batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(
+        cfg, 2, input_res=64, output_res=16, n_points=64).items()}
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["roi_img"], batch["roi_cls"],
+        batch["roi_cam"], batch["roi_center"], batch["roi_wh"],
+        batch["roi_extent"], batch["resize_ratio"], batch["roi_coord_2d"])
+    out = model.apply(
+        variables, batch["roi_img"], batch["roi_cls"], batch["roi_cam"],
+        batch["roi_center"], batch["roi_wh"], batch["roi_extent"],
+        batch["resize_ratio"], batch["roi_coord_2d"])
+    base = gdrn_loss(cfg.model.loss, cfg.model.pnp_net, out, batch)
+    mtl_vars = {k.replace("loss_", ""): jnp.asarray([1.0]) for k in base}
+    weighted = gdrn_loss(cfg.model.loss, cfg.model.pnp_net, out, batch,
+                         mtl_log_vars=mtl_vars)
+    # L' = L * exp(-1) + log(1+e) for every term
+    import math
+    for k in base:
+        expected = float(base[k]) * math.exp(-1) + math.log(1 + math.e)
+        np.testing.assert_allclose(float(weighted[k]), expected, rtol=1e-4)
