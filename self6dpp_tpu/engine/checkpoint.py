@@ -96,16 +96,30 @@ def save_params_npz(path: str, params: Any) -> None:
     np.savez(path, **flat)
 
 
-def load_params_npz(path: str, template: Any) -> Any:
-    """Load a flat .npz into the structure of `template` (names must match)."""
+def load_params_npz(path: str, template: Any, strict: bool = True) -> Any:
+    """Load a flat .npz into the structure of `template` (names must match).
+
+    strict=False keeps the template value for names absent from the file —
+    used for partial init, e.g. imported backbone weights under a full GDRN
+    tree (reference: pretrained timm backbone + fresh heads).
+    """
     raw = dict(np.load(path))
+    loaded = []
 
     def build(tree, prefix=""):
         if isinstance(tree, dict):
             return {k: build(v, f"{prefix}{k}." if prefix else f"{k}.")
                     for k, v in tree.items()}
         key = prefix[:-1]
-        assert key in raw, f"missing param {key}"
+        if key not in raw:
+            assert not strict, f"missing param {key}"
+            return tree
+        loaded.append(key)
+        assert raw[key].shape == tuple(tree.shape), \
+            f"{key}: file {raw[key].shape} != template {tree.shape}"
         return jax.numpy.asarray(raw[key])
 
-    return build(template)
+    out = build(template)
+    unused = set(raw) - set(loaded)
+    assert not unused, f"npz arrays not in template: {sorted(unused)[:8]}"
+    return out

@@ -29,8 +29,11 @@ class _Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch-exact symmetric padding (k-1)//2 (flownets.py conv())
+        p = (self.kernel - 1) // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
                     use_bias=not self.use_bn, dtype=self.dtype)(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -44,10 +47,11 @@ class _Deconv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # torch ConvTranspose2d(4, stride 2, pad 1) == exact 2x; flax SAME
-        # transpose conv with k=4,s=2 gives the same output size
+        # torch ConvTranspose2d(4, stride 2, pad 1, bias=True) == flax SAME
+        # transpose conv with k=4,s=2 (same sizing AND same symmetric pads;
+        # imported kernels are spatially flipped by the converter)
         return _leaky(nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
-                                       padding="SAME", use_bias=False,
+                                       padding="SAME", use_bias=True,
                                        dtype=self.dtype)(x))
 
 
@@ -56,7 +60,8 @@ class _PredictFlow(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(2, (3, 3), padding="SAME", use_bias=False,
+        # reference predict_flow: conv3x3, bias=True (flownets.py:239)
+        return nn.Conv(2, (3, 3), padding="SAME", use_bias=True,
                        dtype=self.dtype)(x)
 
 

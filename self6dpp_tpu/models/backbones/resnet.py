@@ -5,6 +5,11 @@ Functional parity with the reference's backbone registry
 `timm/resnest50d`, configs/self6dpp/new_cfg/base.py:117-123) — re-designed
 for TPU: NHWC layout, fused conv+BN inference mode via flax BatchNorm,
 bfloat16 compute with float32 params/stats.
+
+Padding is torch-exact (explicit symmetric pads, not XLA "SAME") so that
+checkpoints imported via tools/convert_torch_weights.py reproduce the
+reference activations bit-for-bit at stride-2 layers; verified numerically
+against a torch twin in tests/test_weight_convert.py.
 """
 
 from __future__ import annotations
@@ -16,6 +21,11 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 Array = jax.Array
+
+# torch Conv2d(k, stride, padding=k//2) pads symmetrically; XLA "SAME" pads
+# asymmetrically at stride 2 — use explicit pads for torch weight parity.
+_PAD1 = ((1, 1), (1, 1))
+_PAD3 = ((3, 3), (3, 3))
 
 
 class SplitAttention(nn.Module):
@@ -38,7 +48,7 @@ class SplitAttention(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         C, r = self.features, self.radix
         y = nn.Conv(
-            C * r, (3, 3), strides=(self.strides, self.strides), padding="SAME",
+            C * r, (3, 3), strides=(self.strides, self.strides), padding=_PAD1,
             feature_group_count=self.groups * r, use_bias=False, dtype=self.dtype,
         )(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(y)
@@ -67,9 +77,9 @@ class BasicBlock(nn.Module):
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)
         identity = x
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
+                    padding=_PAD1, use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(bn()(y))
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = nn.Conv(self.features, (3, 3), padding=_PAD1, use_bias=False, dtype=self.dtype)(y)
         y = bn()(y)
         if x.shape[-1] != self.features or self.strides != 1:
             if self.avg_down and self.strides != 1:
@@ -100,13 +110,15 @@ class Bottleneck(nn.Module):
         y = nn.relu(bn()(y))
 
         if self.use_splat:
-            # ResNeSt-d: stride moves into an avg-pool before the splat conv
-            if self.strides != 1:
-                y = nn.avg_pool(y, (3, 3), strides=(self.strides, self.strides), padding="SAME")
+            # ResNeSt-d: stride moves into an avg-pool AFTER the splat conv
+            # (avd_first=False as in the reference's timm resnest50d)
             y = SplitAttention(self.features, radix=self.radix, dtype=self.dtype)(y, train=train)
+            if self.strides != 1:
+                y = nn.avg_pool(y, (3, 3), strides=(self.strides, self.strides),
+                                padding=_PAD1)
         else:
             y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                        padding="SAME", use_bias=False, dtype=self.dtype)(y)
+                        padding=_PAD1, use_bias=False, dtype=self.dtype)(y)
             y = nn.relu(bn()(y))
 
         y = nn.Conv(out_c, (1, 1), use_bias=False, dtype=self.dtype)(y)
@@ -142,15 +154,15 @@ class ResNetBackbone(nn.Module):
     '-d' variants use the deep 3-conv stem and avg-pool downsampling.
     """
 
-    name: str = "resnest50d"
+    arch: str = "resnest50d"
     in_channels: int = 3
     out_indices: Sequence[int] = (4,)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
-        block_kind, depths = _STAGE_SPECS[self.name]
-        deep_stem = self.name.endswith("d")
+        block_kind, depths = _STAGE_SPECS[self.arch]
+        deep_stem = self.arch.endswith("d")
         avg_down = deep_stem
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)
 
@@ -158,15 +170,15 @@ class ResNetBackbone(nn.Module):
         if deep_stem:
             for i, c in enumerate((32, 32, 64)):
                 x = nn.Conv(c, (3, 3), strides=(2, 2) if i == 0 else (1, 1),
-                            padding="SAME", use_bias=False, dtype=self.dtype)(x)
+                            padding=_PAD1, use_bias=False, dtype=self.dtype)(x)
                 x = nn.relu(bn()(x))
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=_PAD3,
                         use_bias=False, dtype=self.dtype)(x)
             x = nn.relu(bn()(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=_PAD1)
 
-        widths = (8, 16, 32, 64) if self.name == "micro" else (64, 128, 256, 512)
+        widths = (8, 16, 32, 64) if self.arch == "micro" else (64, 128, 256, 512)
         outs = []
         for stage, (w, d) in enumerate(zip(widths, depths), start=1):
             for blk in range(d):

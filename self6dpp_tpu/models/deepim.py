@@ -39,26 +39,37 @@ class FCRotTransHead(nn.Module):
             x = act(nn.Dense(self.feat_dim, dtype=self.dtype,
                              kernel_init=nn.initializers.normal(0.001))(x))
         rot = nn.Dense(self.rot_dim * self.num_classes, dtype=self.dtype,
-                       kernel_init=nn.initializers.normal(0.01))(x)
+                       kernel_init=nn.initializers.normal(0.01),
+                       name="fc_r")(x)
         t = nn.Dense(3 * self.num_classes, dtype=self.dtype,
-                     kernel_init=nn.initializers.normal(0.01))(x)
+                     kernel_init=nn.initializers.normal(0.01),
+                     name="fc_t")(x)
         return rot, t
 
 
 class ConvMaskHead(nn.Module):
-    """Small conv head on the deconv feature (heads/conv_out_head.py)."""
-    feat_dim: int = 128
-    num_layers: int = 2
+    """Conv head on the deconv feature (heads/conv_out_head.py parity:
+    num_feat_layers ConvModules (GN+GELU, bias-free) then a biased out conv;
+    the reference default is out-layer only, deepim_base.py:141-150)."""
+    feat_dim: int = 256
+    num_feat_layers: int = 0
+    norm: str = "GN"
+    num_gn_groups: int = 32
+    act: str = "gelu"
+    out_kernel_size: int = 1
     out_dim: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        for _ in range(self.num_layers):
-            x = nn.Conv(self.feat_dim, (3, 3), padding="SAME",
-                        dtype=self.dtype)(x)
-            x = nn.leaky_relu(x, negative_slope=0.1)
-        return nn.Conv(self.out_dim, (3, 3), padding="SAME", dtype=self.dtype)(x)
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        from .layers import ConvNormAct
+        for _ in range(self.num_feat_layers):
+            x = ConvNormAct(self.feat_dim, 3, norm=self.norm,
+                            num_gn_groups=self.num_gn_groups, act=self.act,
+                            dtype=self.dtype)(x, train=train)
+        k = self.out_kernel_size
+        return nn.Conv(self.out_dim, (k, k), padding="SAME", dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.01))(x)
 
 
 class DeepIM(nn.Module):

@@ -36,7 +36,7 @@ class GDRN(nn.Module):
     def setup(self):
         c = self.cfg
         self.backbone = ResNetBackbone(
-            name=c.backbone.name,
+            arch=c.backbone.name,
             in_channels=c.backbone.input_channels,
             out_indices=tuple(c.backbone.out_indices),
             dtype=self.dtype,

@@ -51,7 +51,9 @@ class ConvPnPNet(nn.Module):
 
         act = get_act(c.act)
         for i in range(c.num_stride2_layers):
-            x = nn.Conv(c.featdim, (3, 3), strides=(2, 2), padding="SAME",
+            # explicit symmetric pad = torch Conv2d(3, stride=2, padding=1)
+            x = nn.Conv(c.featdim, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
                         use_bias=False, dtype=self.dtype,
                         kernel_init=nn.initializers.normal(0.001))(x)
             x = make_norm(c.norm, c.num_gn_groups, dtype=self.dtype)(x, train=train)

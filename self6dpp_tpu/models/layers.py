@@ -18,7 +18,8 @@ def get_act(name: str) -> Callable[[Array], Array]:
     if name in ("lrelu", "leakyrelu", "leaky_relu"):
         return lambda x: nn.leaky_relu(x, negative_slope=0.1)
     if name in ("gelu",):
-        return nn.gelu
+        # exact erf form (torch nn.GELU default; jax defaults to tanh approx)
+        return lambda x: nn.gelu(x, approximate=False)
     if name in ("silu", "swish"):
         return nn.silu
     if name in ("mish",):
@@ -69,7 +70,8 @@ class Norm(nn.Module):
             groups = min(self.num_gn_groups, x.shape[-1])
             while x.shape[-1] % groups != 0:
                 groups -= 1
-            return nn.GroupNorm(num_groups=groups, dtype=self.dtype)(x)
+            # epsilon matches torch GroupNorm (1e-5; flax default is 1e-6)
+            return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype)(x)
         if self.kind == "BN":
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, dtype=self.dtype
@@ -135,13 +137,15 @@ class ConvTranspose2x(nn.Module):
             use_bias=False,
             dtype=self.dtype,
         )(x)
-        # torch: out = 2*in - 2*pad + k + output_padding - 2 = 2*in for
-        # (k=3,p=1,op=1) / (k=4,p=1,op=0). flax 'VALID'-style above gives
-        # 2*in + k - 2; crop symmetrically to 2*in.
+        # torch ConvTranspose2d(k=3, s=2, p=1, op=1) equals this padded
+        # conv_transpose cropped at offset k-1-p = (k-1)//2 (verified against
+        # torch in tests/test_weight_convert.py; imported kernels are
+        # spatially flipped by the converter since lax.conv_transpose does
+        # not flip). k=4 keeps the 'SAME' path (exact 2x already).
         n, h, w, c = y.shape
         th, tw = 2 * x.shape[1], 2 * x.shape[2]
         if (h, w) != (th, tw):
-            oy, ox = (h - th) // 2, (w - tw) // 2
+            oy = ox = (k - 1) // 2
             y = y[:, oy : oy + th, ox : ox + tw, :]
         return y
 

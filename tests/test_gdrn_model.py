@@ -173,7 +173,7 @@ def test_class_aware_gather():
 
 def test_resnest_backbone_smoke():
     from self6dpp_tpu.models.backbones.resnet import ResNetBackbone
-    model = ResNetBackbone(name="resnest50d")
+    model = ResNetBackbone(arch="resnest50d")
     x = jnp.zeros((1, 64, 64, 3))
     variables = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(variables, x)
