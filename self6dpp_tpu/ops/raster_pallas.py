@@ -80,12 +80,38 @@ def _seg_d2(pu, pv, ax, ay, bx, by):
     return dx * dx + dy * dy
 
 
-def _fine_fwd_kernel(cgeo_ref, czin_ref, catt_ref,
+def _fine_fwd_kernel(flags_ref, cgeo_ref, czin_ref, catt_ref,
                      mask_ref, prob_ref, depth_ref, attr_ref, best_ref,
                      *, tp: int, K: int, D: int, sigma_px: float,
                      with_prob: bool, persp: bool, tw: int, Tt: int):
     P = tp * tp
     i = pl.program_id(0)
+    P8 = P // LANE
+
+    # tiles with zero valid candidates (the common case away from the
+    # silhouette) skip the whole (P, K) pipeline — scalar-prefetched flag
+    @pl.when(flags_ref[i] == 0)
+    def _empty():
+        z = jnp.zeros((P8, LANE), jnp.float32)
+        mask_ref[0] = z
+        prob_ref[0] = z
+        depth_ref[0] = z
+        attr_ref[0] = jnp.zeros((D, P8, LANE), jnp.float32)
+        best_ref[0] = jnp.full((P8, LANE), -1, jnp.int32)
+
+    @pl.when(flags_ref[i] != 0)
+    def _body():
+        _fine_fwd_body(cgeo_ref, czin_ref, catt_ref, mask_ref, prob_ref,
+                       depth_ref, attr_ref, best_ref, i=i, tp=tp, K=K, D=D,
+                       sigma_px=sigma_px, with_prob=with_prob, persp=persp,
+                       tw=tw, Tt=Tt)
+
+
+def _fine_fwd_body(cgeo_ref, czin_ref, catt_ref,
+                   mask_ref, prob_ref, depth_ref, attr_ref, best_ref,
+                   *, i, tp: int, K: int, D: int, sigma_px: float,
+                   with_prob: bool, persp: bool, tw: int, Tt: int):
+    P = tp * tp
     pu, pv = _pixel_coords(i, tp, tw, Tt, P)
     g = cgeo_ref[0]                                   # (8, K)
     (x0, y0, x1, y1, x2, y2, zme, val, _, _, _, w0, w1, w2,
@@ -150,14 +176,34 @@ def _fine_fwd_kernel(cgeo_ref, czin_ref, catt_ref,
         prob_ref[0] = covf.reshape(P8, LANE)
 
 
-def _fine_bwd_kernel(cgeo_ref, czin_ref, catt_ref,
+def _fine_bwd_kernel(flags_ref, cgeo_ref, czin_ref, catt_ref,
                      dprob_ref, ddepth_ref, dattr_ref,
                      dgeo_ref, dzin_ref, datt_ref,
                      *, tp: int, K: int, D: int, sigma_px: float,
                      with_prob: bool, persp: bool, tw: int, Tt: int):
+    i = pl.program_id(0)
+
+    @pl.when(flags_ref[i] == 0)
+    def _empty():
+        dgeo_ref[0] = jnp.zeros((8, K), jnp.float32)
+        dzin_ref[0] = jnp.zeros((3, K), jnp.float32)
+        datt_ref[0] = jnp.zeros((3 * D, K), jnp.float32)
+
+    @pl.when(flags_ref[i] != 0)
+    def _body():
+        _fine_bwd_body(cgeo_ref, czin_ref, catt_ref, dprob_ref, ddepth_ref,
+                       dattr_ref, dgeo_ref, dzin_ref, datt_ref, i=i, tp=tp,
+                       K=K, D=D, sigma_px=sigma_px, with_prob=with_prob,
+                       persp=persp, tw=tw, Tt=Tt)
+
+
+def _fine_bwd_body(cgeo_ref, czin_ref, catt_ref,
+                   dprob_ref, ddepth_ref, dattr_ref,
+                   dgeo_ref, dzin_ref, datt_ref,
+                   *, i, tp: int, K: int, D: int, sigma_px: float,
+                   with_prob: bool, persp: bool, tw: int, Tt: int):
     """Recompute forward intermediates, emit grads wrt candidate data."""
     P = tp * tp
-    i = pl.program_id(0)
     pu, pv = _pixel_coords(i, tp, tw, Tt, P)
     g = cgeo_ref[0]
     (x0, y0, x1, y1, x2, y2, zme, val, inv_area, e0, e1, w0, w1, w2,
@@ -329,8 +375,9 @@ def fine_raster(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
 
 def _specs(K, D, tp):
     P8 = (tp * tp) // LANE
-    ib3 = lambda i: (i, 0, 0)
-    ib4 = lambda i: (i, 0, 0, 0)
+    # index maps take (i, scalar_prefetch_ref) under PrefetchScalarGridSpec
+    ib3 = lambda i, *_: (i, 0, 0)
+    ib4 = lambda i, *_: (i, 0, 0, 0)
     ins = [
         pl.BlockSpec((1, 8, K), ib3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 3, K), ib3, memory_space=pltpu.VMEM),
@@ -339,6 +386,11 @@ def _specs(K, D, tp):
     pix = pl.BlockSpec((1, P8, LANE), ib3, memory_space=pltpu.VMEM)
     attr = pl.BlockSpec((1, D, P8, LANE), ib4, memory_space=pltpu.VMEM)
     return ins, pix, attr
+
+
+def _tile_flags(cgeo) -> Array:
+    """(T,) int32: 1 where the tile has any valid candidate face."""
+    return jnp.any(cgeo[:, 7, :] > 0.5, axis=-1).astype(jnp.int32)
 
 
 def _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
@@ -356,12 +408,14 @@ def _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
         jax.ShapeDtypeStruct((T, P8, LANE), jnp.int32),         # best
     )
     return pl.pallas_call(
-        kern, grid=(T,), in_specs=ins,
-        out_specs=(pix, pix, pix, attr, pix),
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(T,), in_specs=ins,
+            out_specs=(pix, pix, pix, attr, pix)),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(cgeo, czin, catt)
+    )(_tile_flags(cgeo), cgeo, czin, catt)
 
 
 def _fine_fwd_rule(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
@@ -378,7 +432,7 @@ def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, tw, Tt, res, grads):
                    with_prob=with_prob, persp=persp, tw=tw, Tt=Tt)
     ins, pix, attr = _specs(K, D, tp)
     P = tp * tp
-    ib3 = lambda i: (i, 0, 0)
+    ib3 = lambda i, *_: (i, 0, 0)
     # grads enter the kernel in cast-free layouts: pixel grads (T, P, 1)
     # (sliced to (P,) in-kernel), attr grads (T, D, P)
     pix_g = pl.BlockSpec((1, P, 1), ib3, memory_space=pltpu.VMEM)
@@ -389,13 +443,15 @@ def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, tw, Tt, res, grads):
         jax.ShapeDtypeStruct((T, 3 * D, K), jnp.float32),
     )
     dgeo, dzin, datt = pl.pallas_call(
-        kern, grid=(T,),
-        in_specs=ins + [pix_g, pix_g, attr_g],
-        out_specs=tuple(ins),
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(T,),
+            in_specs=ins + [pix_g, pix_g, attr_g],
+            out_specs=tuple(ins)),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(cgeo, czin, catt,
+    )(_tile_flags(cgeo), cgeo, czin, catt,
       dprob.reshape(T, P, 1), ddepth.reshape(T, P, 1),
       dattr.reshape(T, D, P))
     return dgeo, dzin, datt

@@ -15,31 +15,37 @@ Array = jax.Array
 _MS_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
-def _gaussian_kernel(size: int, sigma: float) -> Array:
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
-    return g / g.sum()
+def _gaussian_kernel(size: int, sigma: float):
+    import numpy as np
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return (g / g.sum()).astype(np.float32)
 
 
 def _blur(x: Array, win: Array) -> Array:
-    """Separable gaussian filter, valid padding. x (B, H, W, C)."""
-    c = x.shape[-1]
-    kh = win[:, None, None, None]                       # (k,1,1,1)
-    kw = win[None, :, None, None]
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kh, (1, 1, 1, c)), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kw, (1, 1, 1, c)), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
-    return x
+    """Separable gaussian filter, valid padding. x (B, C, H, W).
+
+    TPU note: implemented as unrolled shift-and-add along H then W instead
+    of a grouped conv — with C=3 channels minor, a depthwise conv uses 3 of
+    128 lanes; channel-major layout keeps W in the lanes at full width.
+    """
+    k = win.shape[0]
+    h, w = x.shape[-2], x.shape[-1]
+    wl = [float(v) for v in win]
+    y = sum(wl[i] * jax.lax.slice_in_dim(x, i, i + h - k + 1, axis=-2)
+            for i in range(k))
+    return sum(wl[i] * jax.lax.slice_in_dim(y, i, i + w - k + 1, axis=-1)
+               for i in range(k))
 
 
 def ssim(img1: Array, img2: Array, data_range: float = 1.0,
          win_size: int = 11, sigma: float = 1.5,
          k1: float = 0.01, k2: float = 0.03,
-         return_cs: bool = False):
+         return_cs: bool = False, _chw: bool = False):
     """SSIM over (B, H, W, C); returns mean SSIM (and mean CS if asked)."""
+    if not _chw:                      # internal compute is channel-major
+        img1 = jnp.transpose(img1, (0, 3, 1, 2))
+        img2 = jnp.transpose(img2, (0, 3, 1, 2))
     win = _gaussian_kernel(win_size, sigma)
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
@@ -76,18 +82,26 @@ def ms_ssim(img1: Array, img2: Array, data_range: float = 1.0,
         s = sum(ws)
         weights = tuple(x / s for x in ws)
     levels = len(weights)
+    img1 = jnp.transpose(img1, (0, 3, 1, 2))   # channel-major (see _blur)
+    img2 = jnp.transpose(img2, (0, 3, 1, 2))
+
+    def pool2(x):                              # 2x2 avg, W/H in minor dims
+        h, w = x.shape[-2] // 2 * 2, x.shape[-1] // 2 * 2
+        x = x[..., :h, :w]                     # VALID: drop trailing odd
+        x = x[..., :, 0::2] + x[..., :, 1::2]
+        return (x[..., 0::2, :] + x[..., 1::2, :]) * 0.25
+
     vals = []
     for i in range(levels):
         if i == levels - 1:
-            s = ssim(img1, img2, data_range, win_size, sigma)
+            s = ssim(img1, img2, data_range, win_size, sigma, _chw=True)
             vals.append(jnp.maximum(s, 0.0))
         else:
-            s, cs = ssim(img1, img2, data_range, win_size, sigma, return_cs=True)
+            s, cs = ssim(img1, img2, data_range, win_size, sigma,
+                         return_cs=True, _chw=True)
             vals.append(jnp.maximum(cs, 0.0))
-            img1 = jax.lax.reduce_window(
-                img1, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
-            img2 = jax.lax.reduce_window(
-                img2, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+            img1 = pool2(img1)
+            img2 = pool2(img2)
     w = jnp.asarray(weights)
     return jnp.prod(jnp.stack(vals) ** w)
 

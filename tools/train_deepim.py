@@ -21,6 +21,10 @@ def parse_args():
     p.add_argument("--init-pose-file", default="",
                    help="json with pose_est initial poses for test")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-npz", default="",
+                   help="converted reference weights "
+                        "(tools/convert_torch_weights.py --kind flownet/"
+                        "deepim) loaded over the fresh init")
     p.add_argument("--opts", nargs="*", default=[])
     return p.parse_args()
 
@@ -68,6 +72,14 @@ def main():
     batches = simple_batches()
     batch0 = to_device(next(batches))
     state = de.init_state(cfg, model, batch0)
+    if args.init_npz:
+        from self6dpp_tpu.engine.checkpoint import load_params_npz
+        tree = load_params_npz(args.init_npz,
+                               {"params": state.params,
+                                "batch_stats": state.batch_stats},
+                               strict=False)
+        state = state.replace(params=tree["params"],
+                              batch_stats=tree["batch_stats"])
 
     if args.eval_only:
         from self6dpp_tpu.engine.checkpoint import CheckpointManager

@@ -25,8 +25,21 @@ def parse_args():
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--det-file", default="", help="test detections json")
+    p.add_argument("--init-npz", default="",
+                   help="flat .npz from tools/convert_torch_weights.py "
+                        "(full 'gdrn' tree or 'resnet --prefix backbone' "
+                        "partial) loaded over the fresh init")
     p.add_argument("--opts", nargs="*", default=[])
     return p.parse_args()
+
+
+def load_init_npz(state, path: str):
+    """Overlay converted reference weights (params/batch_stats) on `state`."""
+    from self6dpp_tpu.engine.checkpoint import load_params_npz
+    tree = {"params": state.params, "batch_stats": state.batch_stats}
+    tree = load_params_npz(path, tree, strict=False)
+    return state.replace(params=tree["params"],
+                         batch_stats=tree["batch_stats"])
 
 
 def build_dataset(cfg, train: bool, det_file: str = ""):
@@ -88,9 +101,12 @@ def main():
                                          det_file=args.det_file)
         batch0 = next(ds.batches(cfg.solver.ims_per_batch, infinite=True))
         state = eng.init_state(cfg, model, to_device(batch0))
-        from self6dpp_tpu.engine.checkpoint import CheckpointManager
-        ckpt = CheckpointManager(f"{cfg.output_dir}/{cfg.exp_name}/ckpt")
-        state, _ = ckpt.resume_or_load(state, resume=True)
+        if args.init_npz:
+            state = load_init_npz(state, args.init_npz)
+        else:
+            from self6dpp_tpu.engine.checkpoint import CheckpointManager
+            ckpt = CheckpointManager(f"{cfg.output_dir}/{cfg.exp_name}/ckpt")
+            state, _ = ckpt.resume_or_load(state, resume=True)
         step = eng.jit_eval_step(cfg, model, mesh=mesh)
         ev = PoseEvaluator(models, meta)
         run_inference(step, state, ds.batches(cfg.solver.ims_per_batch),
@@ -106,6 +122,8 @@ def main():
     batches = ds.batches(cfg.solver.ims_per_batch)
     batch0 = to_device(next(batches))
     state = eng.init_state(cfg, model, batch0)
+    if args.init_npz:
+        state = load_init_npz(state, args.init_npz)
     step = eng.jit_train_step(cfg, model, mesh=mesh)
     do_train(cfg, state, step, batches, to_device, resume=args.resume)
 
