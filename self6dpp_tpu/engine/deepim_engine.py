@@ -163,7 +163,9 @@ def init_state(cfg: Config, model: DeepIM, batch: dict[str, Array],
     variables = jax.jit(model.init, static_argnames=("train",))(
         rng, x, batch["init_rot"], batch["init_trans"], batch["K"],
         train=False)
-    tx, _ = build_optimizer(cfg.solver)
+    # flat-vector updates unless params are fsdp-sharded
+    tx, _ = build_optimizer(cfg.solver,
+                            flatten=cfg.dist.mesh_shape[-1] == 1)
     return create_train_state(variables["params"],
                               variables.get("batch_stats", {}), tx,
                               with_ema=cfg.solver.ema_decay > 0)

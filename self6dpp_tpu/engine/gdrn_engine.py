@@ -46,7 +46,9 @@ def init_state(cfg: Config, model: GDRN, batch: dict[str, Array],
     # TPU backends (~100x), one compiled program is not
     variables = jax.jit(model.init, static_argnames=("train",))(
         rng, *model_inputs(batch), train=False)
-    tx, _ = build_optimizer(cfg.solver)
+    # flat-vector updates unless params are fsdp-sharded
+    tx, _ = build_optimizer(cfg.solver,
+                            flatten=cfg.dist.mesh_shape[-1] == 1)
     return create_train_state(
         variables["params"], variables.get("batch_stats", {}), tx,
         with_ema=cfg.solver.ema_decay > 0)

@@ -110,9 +110,14 @@ def _madgrad(lr_sched, momentum: float = 0.9,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def build_optimizer(cfg: SolverConfig) -> tuple[optax.GradientTransformation, Callable]:
+def build_optimizer(cfg: SolverConfig,
+                    flatten: bool = True) -> tuple[optax.GradientTransformation, Callable]:
     """Returns (tx, lr_schedule). Gradient accumulation to reference_bs is
-    applied via optax.MultiSteps (reference main_gdrn.py:87-121)."""
+    applied via optax.MultiSteps (reference main_gdrn.py:87-121).
+
+    flatten=False keeps the per-leaf update — required when params are
+    fsdp-sharded (a flat concat vector would force an all-gather per step);
+    engines pass flatten=(fsdp == 1)."""
     if cfg.lr_sched == "flat_and_anneal":
         sched = flat_and_anneal(cfg)
     elif cfg.lr_sched == "warmup_multistep":
@@ -148,10 +153,10 @@ def build_optimizer(cfg: SolverConfig) -> tuple[optax.GradientTransformation, Ca
         chain.append(optax.add_decayed_weights(cfg.weight_decay))
     chain.append(core)
     tx = optax.chain(*chain)
-    if name != "sgd_gc":
+    if flatten and name != "sgd_gc":
         # run the whole elementwise update on ONE flat vector: a ~300-leaf
         # tree costs ~5-15 ms/step in per-fusion launch overhead on TPU
-        # (measured: ranger 22.9 -> ~2 ms flat); GC needs per-filter shapes
+        # (measured: ranger 22.9 -> 5.0 ms flat); GC needs per-filter shapes
         # so sgd_gc stays per-leaf
         tx = optax.flatten(tx)
 

@@ -191,13 +191,13 @@ def _fine_bwd_kernel(flags_ref, cgeo_ref, czin_ref, catt_ref,
 
     @pl.when(flags_ref[i] != 0)
     def _body():
-        _fine_bwd_body(cgeo_ref, czin_ref, catt_ref, dprob_ref, ddepth_ref,
-                       dattr_ref, dgeo_ref, dzin_ref, datt_ref, i=i, tp=tp,
-                       K=K, D=D, sigma_px=sigma_px, with_prob=with_prob,
-                       persp=persp, tw=tw, Tt=Tt)
+        _fine_bwd_body(flags_ref, cgeo_ref, czin_ref, catt_ref, dprob_ref,
+                       ddepth_ref, dattr_ref, dgeo_ref, dzin_ref, datt_ref,
+                       i=i, tp=tp, K=K, D=D, sigma_px=sigma_px,
+                       with_prob=with_prob, persp=persp, tw=tw, Tt=Tt)
 
 
-def _fine_bwd_body(cgeo_ref, czin_ref, catt_ref,
+def _fine_bwd_body(flags_ref, cgeo_ref, czin_ref, catt_ref,
                    dprob_ref, ddepth_ref, dattr_ref,
                    dgeo_ref, dzin_ref, datt_ref,
                    *, i, tp: int, K: int, D: int, sigma_px: float,
@@ -309,53 +309,63 @@ def _fine_bwd_body(cgeo_ref, czin_ref, catt_ref,
     dx2 = -de0 * (y1 - pv) + de1 * (y0 - pv) - darea * (y1 - y0)
     dy2 = de0 * (x1 - pu) - de1 * (x0 - pu) + darea * (x1 - x0)
 
-    if with_prob:
-        dP = dprob_ref[0][:, 0]
-        d01 = _seg_d2(pu, pv, x0, y0, x1, y1)
-        d12 = _seg_d2(pu, pv, x1, y1, x2, y2)
-        d20 = _seg_d2(pu, pv, x2, y2, x0, y0)
-        d2 = jnp.minimum(jnp.minimum(d01, d12), d20)
-        p_face = jnp.where(inside, 1.0, jnp.exp(-d2 / (sigma_px ** 2)))
-        p_face = jnp.where(val, p_face, 0.0)
-        one_m = 1.0 - p_face
-        T = jnp.exp(jnp.sum(jnp.log(jnp.maximum(one_m, 1e-38)), axis=-1))
-        loo = jnp.where(one_m > 1e-6,
-                        T[:, None] / jnp.maximum(one_m, 1e-6), 0.0)
-        dp_face = dP[:, None] * loo
-        outside = jnp.logical_not(inside) & val
-        dd2 = jnp.where(outside, -p_face / (sigma_px ** 2) * dp_face, 0.0)
-
-        def seg_bwd(dd, ax, ay, bx, by, active):
-            abx, aby = bx - ax, by - ay
-            apx, apy = pu - ax, pv - ay
-            tt = (apx * abx + apy * aby) / jnp.maximum(
-                abx * abx + aby * aby, 1e-12)
-            tt = jnp.clip(tt, 0.0, 1.0)
-            rx = apx - tt * abx
-            ry = apy - tt * aby
-            ddm = dd * active
-            return (-2.0 * rx * (1.0 - tt) * ddm,
-                    -2.0 * ry * (1.0 - tt) * ddm,
-                    -2.0 * rx * tt * ddm,
-                    -2.0 * ry * tt * ddm)
-
-        m01 = ((d01 <= d12) & (d01 <= d20)).astype(jnp.float32)
-        m12 = ((d12 < d01) & (d12 <= d20)).astype(jnp.float32)
-        m20 = 1.0 - m01 - m12
-        a01 = seg_bwd(dd2, x0, y0, x1, y1, m01)
-        a12 = seg_bwd(dd2, x1, y1, x2, y2, m12)
-        a20 = seg_bwd(dd2, x2, y2, x0, y0, m20)
-        dx0 = dx0 + a01[0] + a20[2]
-        dy0 = dy0 + a01[1] + a20[3]
-        dx1 = dx1 + a01[2] + a12[0]
-        dy1 = dy1 + a01[3] + a12[1]
-        dx2 = dx2 + a12[2] + a20[0]
-        dy2 = dy2 + a12[3] + a20[1]
-
     dgeo_ref[0] = jnp.concatenate(
         [dx0.sum(0)[None], dy0.sum(0)[None], dx1.sum(0)[None],
          dy1.sum(0)[None], dx2.sum(0)[None], dy2.sum(0)[None], dzme,
          jnp.zeros((1, K), jnp.float32)], axis=0)       # (8, K)
+
+    if with_prob:
+        # silhouette grads only exist where a pixel is OUTSIDE every face:
+        # fully-covered interior tiles (flag 1, see _fine_bwd_rule) have
+        # exactly-zero seg grads and skip this block
+        @pl.when(flags_ref[i] == 2)
+        def _seg_grads():
+            dP = dprob_ref[0][:, 0]
+            d01 = _seg_d2(pu, pv, x0, y0, x1, y1)
+            d12 = _seg_d2(pu, pv, x1, y1, x2, y2)
+            d20 = _seg_d2(pu, pv, x2, y2, x0, y0)
+            d2 = jnp.minimum(jnp.minimum(d01, d12), d20)
+            p_face = jnp.where(inside, 1.0, jnp.exp(-d2 / (sigma_px ** 2)))
+            p_face = jnp.where(val, p_face, 0.0)
+            one_m = 1.0 - p_face
+            T = jnp.exp(jnp.sum(jnp.log(jnp.maximum(one_m, 1e-38)), axis=-1))
+            loo = jnp.where(one_m > 1e-6,
+                            T[:, None] / jnp.maximum(one_m, 1e-6), 0.0)
+            dp_face = dP[:, None] * loo
+            outside = jnp.logical_not(inside) & val
+            dd2 = jnp.where(outside, -p_face / (sigma_px ** 2) * dp_face, 0.0)
+
+            def seg_bwd(dd, ax, ay, bx, by, active):
+                abx, aby = bx - ax, by - ay
+                apx, apy = pu - ax, pv - ay
+                tt = (apx * abx + apy * aby) / jnp.maximum(
+                    abx * abx + aby * aby, 1e-12)
+                tt = jnp.clip(tt, 0.0, 1.0)
+                rx = apx - tt * abx
+                ry = apy - tt * aby
+                ddm = dd * active
+                return (-2.0 * rx * (1.0 - tt) * ddm,
+                        -2.0 * ry * (1.0 - tt) * ddm,
+                        -2.0 * rx * tt * ddm,
+                        -2.0 * ry * tt * ddm)
+
+            m01 = ((d01 <= d12) & (d01 <= d20)).astype(jnp.float32)
+            m12 = ((d12 < d01) & (d12 <= d20)).astype(jnp.float32)
+            m20 = 1.0 - m01 - m12
+            a01 = seg_bwd(dd2, x0, y0, x1, y1, m01)
+            a12 = seg_bwd(dd2, x1, y1, x2, y2, m12)
+            a20 = seg_bwd(dd2, x2, y2, x0, y0, m20)
+            sdx0 = a01[0] + a20[2]
+            sdy0 = a01[1] + a20[3]
+            sdx1 = a01[2] + a12[0]
+            sdy1 = a01[3] + a12[1]
+            sdx2 = a12[2] + a20[0]
+            sdy2 = a12[3] + a20[1]
+            seg = jnp.concatenate(
+                [sdx0.sum(0)[None], sdy0.sum(0)[None], sdx1.sum(0)[None],
+                 sdy1.sum(0)[None], sdx2.sum(0)[None], sdy2.sum(0)[None],
+                 jnp.zeros((2, K), jnp.float32)], axis=0)
+            dgeo_ref[0] = dgeo_ref[0] + seg
 
 
 # ---------------------------------------------------------------------------
@@ -421,12 +431,16 @@ def _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
 def _fine_fwd_rule(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp, tw, Tt):
     outs = _fine_fwd(cgeo, czin, catt, tp, D, sigma_px, with_prob, persp,
                      tw, Tt)
-    return outs, (cgeo, czin, catt)
+    return outs, (cgeo, czin, catt, outs[0])       # mask -> bwd tile flags
 
 
 def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, tw, Tt, res, grads):
-    cgeo, czin, catt = res
+    cgeo, czin, catt, mask = res
     dmask, dprob, ddepth, dattr, dbest = grads
+    # 0 = empty tile, 1 = fully covered (silhouette grads exactly zero),
+    # 2 = boundary tile (full backward incl. seg grads)
+    interior = jnp.all(mask > 0.5, axis=(1, 2))
+    flags = _tile_flags(cgeo) * jnp.where(interior, 1, 2).astype(jnp.int32)
     T, _, K = cgeo.shape
     kern = partial(_fine_bwd_kernel, tp=tp, K=K, D=D, sigma_px=sigma_px,
                    with_prob=with_prob, persp=persp, tw=tw, Tt=Tt)
@@ -451,7 +465,7 @@ def _fine_bwd_rule(tp, D, sigma_px, with_prob, persp, tw, Tt, res, grads):
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(_tile_flags(cgeo), cgeo, czin, catt,
+    )(flags, cgeo, czin, catt,
       dprob.reshape(T, P, 1), ddepth.reshape(T, P, 1),
       dattr.reshape(T, D, P))
     return dgeo, dzin, datt

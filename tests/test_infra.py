@@ -123,3 +123,47 @@ def test_tensorboard_writer(tmp_path, rng):
     w.add_text("table", "| a | b |")
     import os
     assert any(os.scandir(tmp_path / "tb"))
+
+
+class TestFlatOptimizer:
+    """optax.flatten wrapping (TPU launch-overhead fix, engine/optim.py)."""
+
+    def test_flat_matches_per_leaf_updates(self):
+        from self6dpp_tpu.config.base import SolverConfig
+        from self6dpp_tpu.engine.optim import build_optimizer
+
+        cfg = SolverConfig(optimizer="ranger", base_lr=1e-2, total_iters=50,
+                           warmup_iters=0)
+        params = {"a": jnp.ones((8, 3)), "b": {"w": jnp.full((5,), 2.0)}}
+        grads = {"a": jnp.full((8, 3), 0.1), "b": {"w": jnp.full((5,), -0.2)}}
+
+        import optax
+        txf, _ = build_optimizer(cfg, flatten=True)
+        txl, _ = build_optimizer(cfg, flatten=False)
+        pf, sf = dict(params), txf.init(params)
+        plf, sl = dict(params), txl.init(params)
+        for _ in range(8):   # crosses a lookahead sync boundary (period 6)
+            uf, sf = txf.update(grads, sf, pf)
+            pf = optax.apply_updates(pf, uf)
+            ul, sl = txl.update(grads, sl, plf)
+            plf = optax.apply_updates(plf, ul)
+        for x, y in zip(jax.tree.leaves(pf), jax.tree.leaves(plf)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_engines_gate_flatten_on_fsdp(self):
+        """fsdp-sharded params must keep per-leaf updates (no flat concat)."""
+        import dataclasses
+        import optax
+        from self6dpp_tpu.config.base import SolverConfig
+        from self6dpp_tpu.engine.optim import build_optimizer
+
+        cfg = SolverConfig(optimizer="adam", total_iters=10, warmup_iters=0)
+        params = {"a": jnp.ones((4, 4))}
+        flat_state = build_optimizer(cfg, flatten=True)[0].init(params)
+        leaf_state = build_optimizer(cfg, flatten=False)[0].init(params)
+        flat_mu = jax.tree.leaves(flat_state)
+        leaf_mu = jax.tree.leaves(leaf_state)
+        # flat: every moment buffer is 1-D; per-leaf keeps (4, 4)
+        assert all(x.ndim <= 1 for x in flat_mu)
+        assert any(x.shape == (4, 4) for x in leaf_mu)
