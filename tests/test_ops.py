@@ -179,6 +179,18 @@ class TestSSIM:
         g = jax.grad(lambda x: ssim.ssim_loss(x, tgt))(img)
         assert np.isfinite(np.asarray(g)).all()
 
+    def test_blur_matches_conv(self, rng):
+        """The lane-major shift-add blur == depthwise gaussian conv."""
+        x = jnp.asarray(rng.uniform(0, 1, (2, 3, 40, 48)), dtype=jnp.float32)
+        win = ssim._gaussian_kernel(11, 1.5)
+        got = ssim._blur(x, win)
+        k2d = np.outer(win, win)[:, :, None, None].astype(np.float32)
+        ref = jax.lax.conv_general_dilated(
+            x.reshape(6, 1, 40, 48), jnp.asarray(k2d), (1, 1), "VALID",
+            dimension_numbers=("NCHW", "HWIO", "NCHW"))
+        np.testing.assert_allclose(np.asarray(got).reshape(6, 1, 30, 38),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-6)
+
 
 class TestColor:
     def test_lab_reference_values(self):
