@@ -23,6 +23,9 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--weights", default="", help="stage-I ckpt dir to warm-start")
+    p.add_argument("--init-npz", default="",
+                   help="converted reference weights (.npz) to overlay on "
+                        "the fresh init before warm-start")
     p.add_argument("--det-file", required=False, default="",
                    help="detections json with pose_est/pose_refine")
     p.add_argument("--resume", action="store_true")
@@ -58,6 +61,17 @@ def main():
     batches = ds.batches(cfg.solver.ims_per_batch)
     batch0 = to_device(next(batches))
     state = ge.init_state(cfg, model, batch0)
+    if args.init_npz:
+        from self6dpp_tpu.engine.checkpoint import load_params_npz
+        tree = load_params_npz(args.init_npz,
+                               {"params": state.params,
+                                "batch_stats": state.batch_stats},
+                               strict=False)
+        state = state.replace(
+            params=tree["params"], batch_stats=tree["batch_stats"],
+            ema_params=jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                    tree["params"]))
+        logger.info(f"loaded converted weights from {args.init_npz}")
     if args.weights:
         st1 = CheckpointManager(args.weights)
         state, _ = st1.resume_or_load(state, resume=True)
