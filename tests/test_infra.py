@@ -25,6 +25,16 @@ class TestConfig:
         assert cfg.model.backbone.name == "resnest50d"
         assert cfg.solver.optimizer == "ranger"
 
+    def test_all_shipped_configs_load(self):
+        import glob
+        root = os.path.join(os.path.dirname(__file__), "..", "configs")
+        paths = sorted(glob.glob(os.path.join(root, "*", "*.py")))
+        assert len(paths) >= 9, paths
+        for p in paths:
+            cfg = load_config(p)
+            assert cfg.exp_name, p
+            assert cfg.model.num_classes >= 1, p
+
     def test_overrides(self):
         cfg = Config()
         cfg2 = apply_overrides(cfg, ["solver.base_lr=0.01",
