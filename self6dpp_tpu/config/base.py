@@ -56,11 +56,16 @@ class GeoHeadConfig:
     num_masks: int = 1
     with_vf: bool = False           # double vector-field heads (self6dpp variant)
     with_norm: bool = False         # surface-normal head (GDRN_MaskNormVF)
+    # keypoints per VF head: channels = {u,v} x {vis,full} x num_vf_points
+    # (reference vf_out_dim=2*2*16,
+    # top_down_doublemask_doublevf_xyz_region_head.py:31)
+    num_vf_points: int = 16
 
 
 @dataclass(frozen=True)
 class PnPNetConfig:
-    name: str = "ConvPnPNet"
+    name: str = "ConvPnPNet"        # ConvPnPNet | SimplePointPnPNet
+    with_extent_feat: bool = False  # ConvPnPNetCls-style extent embedding
     freeze: bool = False
     featdim: int = 128
     rot_type: str = "allo_rot6d"    # allo_rot6d | ego_rot6d | allo_quat | ego_quat
@@ -160,6 +165,11 @@ class DeepIMConfig:
     mask_class_aware: bool = False
     with_flow: bool = True          # supervise flow4
     n_iter_train: int = 4
+    # warmup ramp: refine-iteration count grows from 1 to n_iter_train over
+    # the first n_iter_train_warm_iters training iterations (reference
+    # N_ITER_TRAIN_WARM_EPOCH, core/deepim/engine/engine.py:275-294;
+    # iteration-based here as the trainer is epoch-less). 0 disables.
+    n_iter_train_warm_iters: int = 0
     n_iter_test: int = 4
     zoom_lamb: float = 1.4
     # losses
@@ -233,8 +243,17 @@ class DataConfig:
     color_aug_prob: float = 0.0
     bg_replace_prob: float = 0.5    # for syn data; bg_type dir
     bg_dir: str = ""
-    num_workers: int = 4
+    num_workers: int = 4            # thread-pool size for per-sample host work
+    prefetch: int = 2               # assembled batches buffered ahead
+    # training index sampler (my_distributed_sampler parity):
+    # training | repeat_factor | inf_subset
+    sampler: str = "training"
+    repeat_thresh: float = 0.01     # repeat_factor sampler threshold
+    subset_ratio: float = 1.0       # inf_subset per-epoch subset fraction
     filter_visib_thr: float = 0.0
+    with_depth: bool = False        # emit roi_depth crops (stage-II chamfer)
+    depth_aug_prob: float = 0.0     # add_noise_depth probability (train)
+    depth_aug_level: float = 0.1
     # SISO protocol: restrict train/test to these object names (the reference
     # ships one config per object, e.g. ..._lm_pbr_100e_ape.py); empty = all
     object_filter: tuple[str, ...] = ()
@@ -305,7 +324,23 @@ class SelfSupConfig:
     ema_decay: float = 0.999
     teacher_update_freq: int = 1    # epochs between EMA teacher refreshes
     geo_mode_ratio: float = 0.0     # fraction of iters in 'geo' output mode
+    # pseudo pose source when no refined pose is loaded: the teacher's own
+    # prediction (reference batch_data_self_pose fallback,
+    # self_engine_utils.py:1073-1140) — never ground truth
+    pseudo_pose_type: str = "pose_refine"   # pose_refine | pose_est | teacher
+    # DeepIM refiner in the loop (the "++"): refine the pseudo pose in-graph
+    # before the loss (reference main_self6dpp.py:231-245, refiner_engine.py)
     refine_with_deepim: bool = False
+    refiner_config: str = ""        # config file for the refiner model
+    refiner_weights: str = ""       # ckpt dir or .npz for the refiner
+    # RepjRefiner multi-view weak supervision (reference
+    # self_engine.py:549-569, weights configs/self6dpp/new_cfg/base.py:246-259)
+    repj_refine: bool = False
+    repj_iou2d3d_lw: float = 0.1
+    repj_pm_lw: float = 10.0
+    repj_miou_lw: float = 1.0
+    repj_msssim_lw: float = 1.0
+    repj_render_res: int = 64       # multi-view render side (W/shrink analog)
 
 
 @dataclass(frozen=True)

@@ -80,6 +80,30 @@ class CheckpointManager:
             return self.restore(state, step), step
         return state, 0
 
+    def load_weights(self, state: TrainState, step: int | None = None
+                     ) -> TrainState:
+        """Weights-only warm start: restore params/batch_stats/ema_params and
+        keep the fresh opt_state and step=0.
+
+        The reference's stage-II WEIGHTS load brings over model weights only
+        (core/self6dpp/engine/self_engine.py:306-316); restoring the stage-I
+        opt_state would also restore its schedule count, which exceeds the
+        stage-II total_iters and pins the annealed LR at zero.
+        """
+        step = step if step is not None else self.latest_step()
+        assert step is not None, f"no checkpoint found in {self.directory}"
+        # template-free restore: the saved opt_state pytree may not match the
+        # stage-II optimizer's structure at all, so never touch it
+        raw = self.mgr.restore(step, args=ocp.args.StandardRestore())
+        as_jnp = lambda tree: jax.tree.map(jax.numpy.asarray, tree)
+        return state.replace(
+            params=as_jnp(raw["params"]),
+            batch_stats=as_jnp(raw.get("batch_stats", state.batch_stats)),
+            ema_params=(as_jnp(raw["ema_params"])
+                        if raw.get("ema_params") is not None
+                        else state.ema_params),
+        )
+
 
 def save_params_npz(path: str, params: Any) -> None:
     """Flat .npz export (for weight exchange / inspection)."""

@@ -33,10 +33,14 @@ Array = jax.Array
 
 
 def roi_zoom_K(batch: dict[str, Array], input_res: int,
-               pad_scale: float = 1.5) -> Array:
-    """Zoomed intrinsics for the ROI frame (crop centered at roi_center with
-    side roi_wh*pad_scale, resized to input_res)."""
-    side = batch["roi_wh"][:, 0] * pad_scale
+               output_res: int = 64) -> Array:
+    """Zoomed intrinsics for the ROI frame.
+
+    The loader crops a square of side ``scale = max(bw,bh)*pad_scale*jitter``
+    (aug.py aug_bbox_dzi) and records ``resize_ratio = output_res/scale`` —
+    derive the side exactly from that so the student-pose render frame stays
+    aligned with roi_img under bh>bw boxes and DZI scale jitter."""
+    side = output_res / batch["resize_ratio"]
     x1 = batch["roi_center"][:, 0] - side / 2
     y1 = batch["roi_center"][:, 1] - side / 2
     boxes = jnp.stack([x1, y1, x1 + side, y1 + side], axis=1)
@@ -68,13 +72,51 @@ def render_student_pose(cfg: Config, batch: dict[str, Array], rot: Array,
             "depth": out.depth}
 
 
-def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None):
+def gated_ema_decay(base_decay: float, warmup_iters: int, every: int = 1):
+    """EMA decay schedule gated to fire every `every` steps (reference
+    updates the teacher every UPDATE_FREQ epochs, self_engine.py:674-682;
+    decay 1.0 on off-steps leaves the teacher untouched)."""
+    raw = ema_decay_schedule(base_decay, warmup_iters)
+    if every <= 1:
+        return raw
+    return lambda step: jnp.where(step % every == 0, raw(step), 1.0)
+
+
+def select_pseudo_pose(ss, batch: dict[str, Array],
+                       tout: dict[str, Array]) -> tuple[Array, Array]:
+    """Pseudo-pose source (batch_data_self_pose,
+    self_engine_utils.py:1073-1140): the loaded refined/estimated pose when
+    present, else the *teacher's* predicted pose — never ground truth."""
+    if ss.pseudo_pose_type == "pose_refine" and "pseudo_rot" in batch:
+        return batch["pseudo_rot"], batch["pseudo_trans"]
+    if ss.pseudo_pose_type == "pose_est" and "pose_est_rot" in batch:
+        return batch["pose_est_rot"], batch["pose_est_trans"]
+    assert "rot" in tout, (
+        "teacher must run a pose forward when no pseudo pose is loaded")
+    return tout["rot"], tout["trans"]
+
+
+def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
+                         refiner: tuple | None = None,
+                         ema_update_every: int = 1):
     """Returns train_step(state, lpips_params, batch, rng) -> (state, metrics).
 
     The teacher = state.ema_params (mean teacher, ModelEMA parity).
+    refiner: optional (deepim_model, deepim_variables, refiner_cfg) — when
+    cfg.self_sup.refine_with_deepim, the pseudo pose is refined in-graph by
+    the DeepIM loop before the loss (the "++" of Self6D++; reference loads it
+    at main_self6dpp.py:231-245 and refines offline via refiner_engine.py —
+    here the refine loop fuses into the same XLA step).
     """
     ss = cfg.self_sup
-    decay_fn = ema_decay_schedule(ss.ema_decay, cfg.solver.ema_warmup_iters)
+    decay_fn = gated_ema_decay(ss.ema_decay, cfg.solver.ema_warmup_iters,
+                               ema_update_every)
+
+    refine_fn = None
+    if ss.refine_with_deepim and refiner is not None:
+        from .deepim_engine import make_refine_fn
+        dmodel, dvars, dcfg = refiner
+        refine_fn = make_refine_fn(dcfg, dmodel, dcfg.deepim.n_iter_test)
 
     def lpips_fn_factory(lpips_params):
         if lpips is None or lpips_params is None:
@@ -92,15 +134,15 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None):
             out = model.apply(variables, *model_inputs(batch), train=False,
                               rngs={"dropout": rng})
 
-            # teacher forward -> pseudo geometry (no grad)
+            # teacher forward -> pseudo geometry + pose (no grad; the
+            # reference runs the teacher with forward_mode='pose',
+            # self_engine_utils.py:1060-1066)
             tvars = {"params": state.ema_params}
             if state.batch_stats:
                 tvars["batch_stats"] = state.batch_stats
             tout = jax.lax.stop_gradient(
-                model.apply(tvars, *model_inputs(batch), train=False,
-                            forward_mode="geo"))
+                model.apply(tvars, *model_inputs(batch), train=False))
 
-            o = cfg.model.output_res
             s = cfg.model.input_res
             from ..losses.mask_losses import get_mask_prob
             t_vis_prob = get_mask_prob(tout["mask_logits"],
@@ -110,20 +152,100 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None):
             pseudo_vis = jax.image.resize(pseudo_vis_lr, (pseudo_vis_lr.shape[0], s, s),
                                           "nearest")
 
+            p_rot, p_trans = select_pseudo_pose(ss, batch, tout)
+            if refine_fn is not None:
+                # in-graph DeepIM refinement of the pseudo pose, in the ROI
+                # frame (obs = roi_img with the zoomed intrinsics)
+                ref_batch = {
+                    "obs_img": batch["roi_img"],
+                    "K": batch["roi_zoom_K"],
+                    "verts": batch["mesh_verts"][batch["roi_cls"]],
+                    "faces": batch["mesh_faces"][batch["roi_cls"]],
+                    "colors": batch["mesh_colors"][batch["roi_cls"]],
+                    "roi_cls": batch["roi_cls"],
+                    "obs_mask": pseudo_vis,
+                }
+                p_rot, p_trans = refine_fn(dvars, ref_batch, p_rot, p_trans)
+            p_rot = jax.lax.stop_gradient(p_rot)
+            p_trans = jax.lax.stop_gradient(p_trans)
+
             pseudo = {
                 "vis_mask": pseudo_vis,
                 "vis_mask_lr": pseudo_vis_lr,
                 "coor": tout["coor"],
                 "region": jax.nn.softmax(tout["region_logits"], axis=-1),
-                # pseudo pose: loaded refined pose if provided, else teacher's
-                "rot": batch.get("pseudo_rot", batch["gt_rot"]),
-                "trans": batch.get("pseudo_trans", batch["gt_trans"]),
+                "rot": p_rot,
+                "trans": p_trans,
             }
+
+            o = cfg.model.output_res
+            if ss.vf_lw > 0 and "vf" in out and "mesh_fps" in batch:
+                # pseudo-RT vector field implied by the pseudo pose
+                # (compute_vf_torch at self_engine_utils.py:603-636)
+                from ..ops.geometry import compute_vf
+                f = cfg.model.geo_head.num_vf_points
+                cls = batch["roi_cls"]
+                side = o / batch["resize_ratio"]
+                vf_rt = compute_vf(batch["mesh_fps"][cls][:, :f],
+                                   batch["roi_cam"], p_rot, p_trans,
+                                   batch["roi_center"], side, o)
+                # [vis 2f | full 2f] layout; the loss applies the vis mask
+                pseudo["vf"] = jnp.concatenate([vf_rt, vf_rt], axis=-1)
+            if ss.norm_lw > 0 and "norm" in out and "mesh_normals" in batch:
+                # teacher-RT-rendered normal supervision
+                # (self_engine_utils.py:640-680): render camera-frame normals
+                # at the pseudo pose in the output-res crop frame
+                cls = batch["roi_cls"]
+                n_cam = jnp.einsum("bij,bvj->bvi", p_rot,
+                                   batch["mesh_normals"][cls])
+                ratio = o / cfg.model.input_res
+                S = jnp.asarray([[ratio, 0, 0], [0, ratio, 0], [0, 0, 1.0]])
+                Ko = jnp.einsum("ij,bjk->bik", S, batch["roi_zoom_K"])
+                impl = cfg.renderer.impl
+                if impl == "auto":
+                    impl = ("pallas" if jax.devices()[0].platform != "cpu"
+                            else "xla")
+                renN = rasterize_batch(
+                    batch["mesh_verts"][cls], batch["mesh_faces"][cls],
+                    n_cam, Ko, p_rot, p_trans, height=o, width=o,
+                    tile_px=min(cfg.renderer.tile_px, o),
+                    faces_per_tile=cfg.renderer.faces_per_tile,
+                    with_prob=False, impl=impl)
+                nrm = renN.attr / jnp.maximum(
+                    jnp.linalg.norm(renN.attr, axis=-1, keepdims=True), 1e-8)
+                pseudo["norm"] = nrm * renN.mask[..., None]
 
             ren = render_student_pose(cfg, batch, out["rot"], out["trans"])
             ld = compute_self_loss_pose(
                 ss, ren, out, pseudo, batch,
                 lpips_fn=lpips_fn_factory(lpips_params))
+
+            if ss.repj_refine:
+                # multi-view weak supervision (self_engine.py:549-569)
+                from ..models.repj_refiner import repj_weak_loss
+                vis_prob = get_mask_prob(
+                    out["mask_logits"][..., :1],
+                    cfg.model.loss.mask_loss_type)[..., 0]
+                if out["mask_logits"].shape[-1] >= 2:
+                    full_prob = get_mask_prob(
+                        out["mask_logits"][..., 1:2],
+                        cfg.model.loss.mask_loss_type)[..., 0]
+                else:
+                    full_prob = vis_prob
+                cls = batch["roi_cls"]
+                ld.update(repj_weak_loss(
+                    out["rot"], out["trans"], vis_prob, full_prob,
+                    batch["gt_rot"], batch["gt_trans"],
+                    batch["mesh_verts"][cls], batch["mesh_faces"][cls],
+                    batch["mesh_colors"][cls], batch["roi_cam"],
+                    batch["gt_points"], batch["roi_extent"],
+                    sym_rots=batch.get("sym_rots"),
+                    sym_valid=batch.get("sym_valid"),
+                    render_res=ss.repj_render_res,
+                    full_hw=(cfg.renderer.height, cfg.renderer.width),
+                    w_iou2d3d=ss.repj_iou2d3d_lw, w_pm=ss.repj_pm_lw,
+                    w_miou=ss.repj_miou_lw, w_msssim=ss.repj_msssim_lw))
+
             total = sum(jax.tree.leaves(ld))
             return total, ld
 
@@ -137,13 +259,15 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None):
     return train_step
 
 
-def make_self_geo_train_step(cfg: Config, model: GDRN):
+def make_self_geo_train_step(cfg: Config, model: GDRN,
+                             ema_update_every: int = 1):
     """Geo-mode step (self_engine_utils.py:52-127 'geo' branch): the student
     sees a perturbed copy of the ROI (device-side color jitter standing in
     for POSE_VARIATED_AUG, configs/self6dpp/new_cfg/base.py:34-50) and its
     dense geometry is trained toward the teacher's pseudo labels."""
     ss = cfg.self_sup
-    decay_fn = ema_decay_schedule(ss.ema_decay, cfg.solver.ema_warmup_iters)
+    decay_fn = gated_ema_decay(ss.ema_decay, cfg.solver.ema_warmup_iters,
+                               ema_update_every)
 
     def train_step(state: TrainState, batch: dict[str, Array], rng: Array):
         def loss_fn(params):
@@ -195,11 +319,48 @@ def make_self_geo_train_step(cfg: Config, model: GDRN):
     return train_step
 
 
-def make_synsup_train_step(cfg: Config, model: GDRN):
+def jit_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
+                        refiner: tuple | None = None,
+                        ema_update_every: int = 1, mesh=None):
+    """Mesh-aware jit of the pose-mode step (state, lpips_params, batch, rng)."""
+    step = make_self_train_step(cfg, model, lpips, refiner=refiner,
+                                ema_update_every=ema_update_every)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    from ..parallel.mesh import step_shardings
+    st, data, repl = step_shardings(mesh, cfg.dist)
+    return jax.jit(step, in_shardings=(st, repl, data, repl),
+                   donate_argnums=(0,))
+
+
+def jit_self_geo_train_step(cfg: Config, model: GDRN,
+                            ema_update_every: int = 1, mesh=None):
+    step = make_self_geo_train_step(cfg, model,
+                                    ema_update_every=ema_update_every)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    from ..parallel.mesh import step_shardings
+    st, data, repl = step_shardings(mesh, cfg.dist)
+    return jax.jit(step, in_shardings=(st, data, repl), donate_argnums=(0,))
+
+
+def jit_synsup_train_step(cfg: Config, model: GDRN,
+                          ema_update_every: int = 1, mesh=None):
+    step = make_synsup_train_step(cfg, model,
+                                  ema_update_every=ema_update_every)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    from ..parallel.mesh import step_shardings
+    st, data, repl = step_shardings(mesh, cfg.dist)
+    return jax.jit(step, in_shardings=(st, data, repl), donate_argnums=(0,))
+
+
+def make_synsup_train_step(cfg: Config, model: GDRN,
+                           ema_update_every: int = 1):
     """TRAIN2 synthetic-supervised step interleaved with the self batches
     (self_engine.py:409-421 train_2_ratio)."""
-    decay_fn = ema_decay_schedule(cfg.self_sup.ema_decay,
-                                  cfg.solver.ema_warmup_iters)
+    decay_fn = gated_ema_decay(cfg.self_sup.ema_decay,
+                               cfg.solver.ema_warmup_iters, ema_update_every)
 
     def train_step(state: TrainState, batch: dict[str, Array], rng: Array):
         def loss_fn(params):

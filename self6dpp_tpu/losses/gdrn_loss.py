@@ -49,11 +49,12 @@ def gdrn_loss(
         elif cfg.xyz_loss_type == "CE_coor":
             logits = out["coor_logits"]                 # (B,H,W,3,bin+1)
             gt_bin = batch["gt_xyz_bin"].astype(jnp.int32)  # (B,H,W,3)
-            gmi = gm.astype(jnp.int32)
+            # per-pixel CE on the raw logits, masked at the loss level —
+            # masking the logits instead would add log(C) per out-of-mask
+            # pixel to the reported loss (grads identical, metrics not)
             for i, ax in enumerate("xyz"):
-                ce = softmax_ce(logits[..., i, :] * gm[..., None],
-                                gt_bin[..., i] * gmi, axis=-1)
-                loss[f"loss_coor_{ax}"] = ce.sum() / denom * cfg.xyz_lw
+                ce = softmax_ce(logits[..., i, :], gt_bin[..., i], axis=-1)
+                loss[f"loss_coor_{ax}"] = (ce * gm).sum() / denom * cfg.xyz_lw
         else:
             raise ValueError(cfg.xyz_loss_type)
 
@@ -72,10 +73,24 @@ def gdrn_loss(
     if not geo_frozen:
         gm = gt_masks[cfg.region_loss_mask_gt]
         denom = jnp.maximum(gm.sum(), 1.0)
-        ce = softmax_ce(out["region_logits"] * gm[..., None],
-                        batch["gt_region"].astype(jnp.int32) * gm.astype(jnp.int32),
-                        axis=-1)
-        loss["loss_region"] = ce.sum() / denom * cfg.region_lw
+        ce = softmax_ce(out["region_logits"],
+                        batch["gt_region"].astype(jnp.int32), axis=-1)
+        loss["loss_region"] = (ce * gm).sum() / denom * cfg.region_lw
+
+    # ---- supervised VF / normals (self6dpp variants; GT from the loader's
+    # compute_vf_np / normal render — reference VFLoss/NORMLoss,
+    # core/self6dpp/losses/vf_norm_loss.py:6,56) ---------------------------
+    if not geo_frozen and cfg.vf_lw > 0 and "vf" in out and "gt_vf_vis" in batch:
+        from .self_loss import vf_loss
+        half = out["vf"].shape[-1] // 2           # [vis 2f | full 2f]
+        loss["loss_vf_vis"] = cfg.vf_lw * vf_loss(
+            out["vf"][..., :half], batch["gt_vf_vis"], batch["gt_mask_visib"])
+        loss["loss_vf_full"] = cfg.vf_lw * vf_loss(
+            out["vf"][..., half:], batch["gt_vf_full"], batch["gt_mask_obj"])
+    if not geo_frozen and cfg.norm_lw > 0 and "norm" in out and "gt_norm" in batch:
+        from .self_loss import norm_loss
+        loss["loss_norm"] = cfg.norm_lw * norm_loss(
+            out["norm"], batch["gt_norm"], batch["gt_mask_visib"])
 
     # ---- PM -------------------------------------------------------------
     if cfg.pm_lw > 0:

@@ -204,6 +204,40 @@ def project_pts(pts: Array, K: Array, R: Array, t: Array, eps: float = 1e-8) -> 
     return jnp.concatenate([u, v], axis=-1)
 
 
+def compute_vf(fps_points: Array, K: Array, R: Array, t: Array,
+               roi_center: Array, roi_scale: Array, out_res: int,
+               mask: Array | None = None) -> Array:
+    """GT/pseudo keypoint vector field in the ROI crop frame.
+
+    Per pixel of the out_res x out_res crop (centered at roi_center with side
+    roi_scale, in original-image pixel coords), the unit 2D direction to each
+    of the f projected FPS keypoints. Reference: compute_vf_torch
+    (core/utils/data_utils.py:357-390; the stage-II pseudo-RT VF supervision
+    calls it at self_engine_utils.py:603-636).
+
+    fps_points (B,f,3), K/R (B,3,3), t (B,3), roi_center (B,2),
+    roi_scale (B,), mask (B,out,out) or None -> (B,out,out,2f) with the
+    keypoint axis interleaved as [u0,v0,u1,v1,...].
+    """
+    kp = project_pts(fps_points, K, R, t)            # (B,f,2)
+    x0 = roi_center[:, 0] - roi_scale / 2
+    y0 = roi_center[:, 1] - roi_scale / 2
+    lin = (jnp.arange(out_res, dtype=kp.dtype) + 0.5) / out_res
+    px = x0[:, None] + roi_scale[:, None] * lin      # (B,out)
+    py = y0[:, None] + roi_scale[:, None] * lin
+    grid = jnp.stack([
+        jnp.broadcast_to(px[:, None, :], (px.shape[0], out_res, out_res)),
+        jnp.broadcast_to(py[:, :, None], (py.shape[0], out_res, out_res)),
+    ], axis=-1)                                       # (B,out,out,2)
+    vf = kp[:, None, None, :, :] - grid[:, :, :, None, :]   # (B,o,o,f,2)
+    vf = vf / jnp.maximum(jnp.linalg.norm(vf, axis=-1, keepdims=True), 1e-8)
+    b, o = vf.shape[0], out_res
+    vf = vf.reshape(b, o, o, -1)
+    if mask is not None:
+        vf = vf * mask[..., None]
+    return vf
+
+
 def backproject_depth(depth: Array, K: Array) -> Array:
     """depth (..., H, W), K (..., 3, 3) -> camera-space xyz (..., H, W, 3).
 

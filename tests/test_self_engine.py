@@ -47,7 +47,7 @@ def make_batch(cfg, b=2):
     batch["mesh_verts"] = jnp.asarray(verts)[None].repeat(2, 0)
     batch["mesh_faces"] = jnp.asarray(faces)[None].repeat(2, 0)
     batch["mesh_colors"] = jnp.asarray(colors)[None].repeat(2, 0)
-    batch["roi_zoom_K"] = se.roi_zoom_K(batch, cfg.model.input_res)
+    batch["roi_zoom_K"] = se.roi_zoom_K(batch, cfg.model.input_res, cfg.model.output_res)
     batch["roi_depth"] = jnp.ones((b, 64, 64)) * batch["gt_trans"][:, 2, None, None]
     batch["pseudo_rot"] = batch["gt_rot"]
     batch["pseudo_trans"] = batch["gt_trans"]
@@ -125,3 +125,149 @@ def test_synsup_step():
     step = jax.jit(se.make_synsup_train_step(cfg, model))
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_geo_step():
+    cfg = tiny_cfg()
+    model = ge.build_gdrn(cfg)
+    batch = make_batch(cfg)
+    state = ge.init_state(cfg, model, batch)
+    step = jax.jit(se.make_self_geo_train_step(cfg, model))
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert {"loss_vis_mask_init_pred", "loss_init_pred_xyz",
+            "loss_region_init_pred"} <= set(metrics.keys())
+
+
+class TestPseudoPoseSource:
+    """The pseudo pose must never silently fall back to GT (VERDICT r1 #2)."""
+
+    def test_select_loaded_pose_refine(self):
+        ss = SelfSupConfig(pseudo_pose_type="pose_refine")
+        batch = {"pseudo_rot": jnp.eye(3)[None], "pseudo_trans": jnp.ones((1, 3))}
+        r, t = se.select_pseudo_pose(ss, batch, {})
+        assert r is batch["pseudo_rot"] and t is batch["pseudo_trans"]
+
+    def test_select_teacher_fallback(self):
+        ss = SelfSupConfig(pseudo_pose_type="pose_refine")
+        tout = {"rot": jnp.eye(3)[None] * 2, "trans": jnp.zeros((1, 3))}
+        r, t = se.select_pseudo_pose(ss, {"gt_rot": jnp.eye(3)[None]}, tout)
+        assert r is tout["rot"]
+
+    def test_select_pose_est(self):
+        ss = SelfSupConfig(pseudo_pose_type="pose_est")
+        batch = {"pose_est_rot": jnp.eye(3)[None],
+                 "pose_est_trans": jnp.ones((1, 3))}
+        r, _ = se.select_pseudo_pose(ss, batch, {})
+        assert r is batch["pose_est_rot"]
+
+    def test_step_ignores_gt_when_no_loaded_pose(self):
+        """With no loaded pseudo pose the step uses the teacher's predicted
+        pose: perturbing gt_rot/gt_trans must not change any loss value."""
+        cfg = tiny_cfg()
+        model = ge.build_gdrn(cfg)
+        batch = make_batch(cfg)
+        del batch["pseudo_rot"], batch["pseudo_trans"]
+        state = ge.init_state(cfg, model, batch)
+        lpips = LPIPS()
+        lp = lpips.init(jax.random.PRNGKey(1), batch["roi_img"],
+                        batch["roi_img"])["params"]
+        step = jax.jit(se.make_self_train_step(cfg, model, lpips))
+        _, m1 = step(state, lp, batch, jax.random.PRNGKey(0))
+        flip = jnp.asarray(np.diag([-1.0, -1.0, 1.0]), jnp.float32)
+        batch2 = dict(batch,
+                      gt_rot=jnp.einsum("ij,bjk->bik", flip, batch["gt_rot"]),
+                      gt_trans=batch["gt_trans"] + 0.1)
+        _, m2 = step(state, lp, batch2, jax.random.PRNGKey(0))
+        for k in m1:
+            assert float(m1[k]) == pytest.approx(float(m2[k]), rel=1e-6), k
+
+
+def test_refine_with_deepim_in_loop():
+    """refine_with_deepim: the DeepIM loop refines the pseudo pose inside the
+    same compiled step (reference main_self6dpp.py:231-245)."""
+    import dataclasses
+    from self6dpp_tpu.config.base import DeepIMConfig
+    from self6dpp_tpu.engine import deepim_engine as de
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, self_sup=dataclasses.replace(cfg.self_sup,
+                                          refine_with_deepim=True))
+    rcfg = Config(
+        deepim=DeepIMConfig(num_classes=2, input_h=32, input_w=32,
+                            in_channels=8, n_iter_test=2, flow_lw=0.0,
+                            with_flow=False, with_mask_head=False),
+        renderer=cfg.renderer)
+    dmodel = de.build_deepim(rcfg)
+    batch = make_batch(cfg)
+    dinit = {"init_rot": batch["gt_rot"], "init_trans": batch["gt_trans"],
+             "K": batch["roi_zoom_K"]}
+    dstate = de.init_state(rcfg, dmodel, dinit)
+    dvars = {"params": dstate.params}
+    if dstate.batch_stats:
+        dvars["batch_stats"] = dstate.batch_stats
+
+    model = ge.build_gdrn(cfg)
+    state = ge.init_state(cfg, model, batch)
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(1), batch["roi_img"],
+                    batch["roi_img"])["params"]
+    step = jax.jit(se.make_self_train_step(
+        cfg, model, lpips, refiner=(dmodel, dvars, rcfg)))
+    state, metrics = step(state, lp, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"])), metrics
+
+
+def test_pose_step_vf_norm_pseudo_rt():
+    """Stage-II pseudo-RT VF + teacher-RT-rendered normal supervision
+    (reference self_engine_utils.py:603-680)."""
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, geo_head=dataclasses.replace(
+            cfg.model.geo_head, with_vf=True, with_norm=True,
+            num_vf_points=4)),
+        self_sup=dataclasses.replace(cfg.self_sup, vf_lw=1.0, norm_lw=1.0),
+    )
+    model = ge.build_gdrn(cfg)
+    batch = make_batch(cfg)
+    from self6dpp_tpu.ops.rasterizer import compute_vertex_normals
+    batch["mesh_normals"] = jax.vmap(compute_vertex_normals)(
+        batch["mesh_verts"], batch["mesh_faces"])
+    batch["mesh_fps"] = batch["mesh_verts"][:, :8]
+    state = ge.init_state(cfg, model, batch)
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(1), batch["roi_img"],
+                    batch["roi_img"])["params"]
+    step = jax.jit(se.make_self_train_step(cfg, model, lpips))
+    state, metrics = step(state, lp, batch, jax.random.PRNGKey(0))
+    assert {"loss_vf", "loss_norm"} <= set(metrics.keys()), metrics.keys()
+    assert np.isfinite(float(metrics["total_loss"])), metrics
+
+
+def test_ema_update_gating():
+    """teacher_update_freq: the EMA teacher only refreshes on multiples of
+    `every` (reference updates per UPDATE_FREQ epochs, self_engine.py:674)."""
+    d = se.gated_ema_decay(0.9, ramp_iters := 1, every=2)
+    assert float(d(jnp.asarray(1))) == 1.0          # off-step: unchanged
+    assert float(d(jnp.asarray(2))) < 1.0           # on-step: blends
+
+    cfg = tiny_cfg()
+    model = ge.build_gdrn(cfg)
+    batch = make_batch(cfg)
+    state = ge.init_state(cfg, model, batch)
+    step = jax.jit(se.make_synsup_train_step(cfg, model, ema_update_every=2))
+    ema0 = state.ema_params
+    state, _ = step(state, batch, jax.random.PRNGKey(0))   # step -> 1: skip
+    diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), ema0, state.ema_params)))
+    assert diff == 0.0
+    state, _ = step(state, batch, jax.random.PRNGKey(1))   # step -> 2: update
+    diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), ema0, state.ema_params)))
+    assert diff > 0.0

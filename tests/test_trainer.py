@@ -53,6 +53,30 @@ def test_trainer_runs_and_checkpoints(tmp_path):
     assert int(out2.step) == 6            # nothing left to do
 
 
+def test_load_weights_keeps_fresh_opt_state(tmp_path):
+    """Stage-II warm start must bring over weights only: restoring the
+    stage-I opt_state/step would replay its schedule count into the short
+    stage-II run and anneal the LR to zero (ADVICE r1 #1)."""
+    from self6dpp_tpu.engine.checkpoint import CheckpointManager
+
+    cfg, state, step, batches = _setup(tmp_path, total_iters=6)
+    trained = do_train(cfg, state, step, batches,
+                       lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+                       resume=False)
+
+    # a fresh state for "stage II" with a different optimizer structure
+    cfg2 = Config(solver=SolverConfig(optimizer="ranger", total_iters=3))
+    tx2, _ = build_optimizer(cfg2.solver)
+    fresh = create_train_state({"w": jnp.zeros((4,))}, {}, tx2, with_ema=True)
+    warm = CheckpointManager(str(tmp_path / "t" / "ckpt")).load_weights(fresh)
+
+    np.testing.assert_allclose(np.asarray(warm.params["w"]),
+                               np.asarray(trained.params["w"]))
+    assert int(warm.step) == 0
+    # opt_state stays the fresh ranger one, untouched by the adam checkpoint
+    assert jax.tree.structure(warm.opt_state) == jax.tree.structure(fresh.opt_state)
+
+
 def test_trainer_nan_guard(tmp_path):
     cfg, state, _, batches = _setup(tmp_path / "nan")
 

@@ -44,23 +44,30 @@ def main():
     from self6dpp_tpu.models.lpips import LPIPS, load_lpips_params
     from tools.train_gdrn import build_dataset
 
+    from self6dpp_tpu.parallel.mesh import make_mesh, shard_batch
+
     cfg = apply_overrides(load_config(args.config), args.opts)
     logger = setup_logger(os.path.join(cfg.output_dir, cfg.exp_name))
 
     ds, models, meta = build_dataset(cfg, train=True, det_file=args.det_file)
     model = ge.build_gdrn(cfg)
+    mesh = make_mesh(cfg.dist) if len(jax.devices()) > 1 else None
 
     def to_device(batch):
         db = {k: jnp.asarray(v) for k, v in batch.items() if k != "_valid"}
         db["mesh_verts"] = jnp.asarray(models.verts)
         db["mesh_faces"] = jnp.asarray(models.faces)
         db["mesh_colors"] = jnp.asarray(models.colors)
-        db["roi_zoom_K"] = se.roi_zoom_K(db, cfg.model.input_res)
+        db["mesh_normals"] = jnp.asarray(models.normals)
+        db["mesh_fps"] = jnp.asarray(models.fps_points)
+        db["roi_zoom_K"] = se.roi_zoom_K(db, cfg.model.input_res, cfg.model.output_res)
+        if mesh is not None:
+            db = shard_batch(db, mesh, cfg.dist)
         return db
 
     batches = ds.batches(cfg.solver.ims_per_batch)
     batch0 = to_device(next(batches))
-    state = ge.init_state(cfg, model, batch0)
+    state = ge.init_state(cfg, model, batch0, mesh=mesh)
     if args.init_npz:
         from self6dpp_tpu.engine.checkpoint import load_params_npz
         tree = load_params_npz(args.init_npz,
@@ -73,9 +80,11 @@ def main():
                                     tree["params"]))
         logger.info(f"loaded converted weights from {args.init_npz}")
     if args.weights:
+        # weights-only: restoring stage-I opt_state/step would replay a 100k
+        # schedule count into the short stage-II run (LR annealed to zero)
         st1 = CheckpointManager(args.weights)
-        state, _ = st1.resume_or_load(state, resume=True)
-        logger.info(f"warm-started student+teacher from {args.weights}")
+        state = st1.load_weights(state)
+        logger.info(f"warm-started student+teacher weights from {args.weights}")
 
     lpips = LPIPS()
     lp = load_lpips_params(os.path.join("weights", "lpips_alex.npz"))
@@ -85,17 +94,86 @@ def main():
         logger.warning("no converted LPIPS weights found; using random-init "
                        "AlexNet features")
 
-    pose_step = jax.jit(se.make_self_train_step(cfg, model, lpips))
-    geo_step = jax.jit(se.make_self_geo_train_step(cfg, model))
-    geo_ratio = cfg.self_sup.geo_mode_ratio
+    ss = cfg.self_sup
+    # EMA teacher refresh cadence: UPDATE_FREQ epochs -> steps (reference
+    # self_engine.py:674-682)
+    iters_per_epoch = max(1, len(ds) // cfg.solver.ims_per_batch)
+    ema_every = (max(1, ss.teacher_update_freq) * iters_per_epoch
+                 if ss.teacher_update_freq > 0 else 1)
+
+    # optional DeepIM refiner in the loop (main_self6dpp.py:231-245)
+    refiner = None
+    if ss.refine_with_deepim:
+        assert ss.refiner_config, \
+            "self_sup.refine_with_deepim requires self_sup.refiner_config"
+        from self6dpp_tpu.engine import deepim_engine as de
+        rcfg = load_config(ss.refiner_config)
+        dmodel = de.build_deepim(rcfg)
+        dinit = {
+            "init_rot": batch0["gt_rot"], "init_trans": batch0["gt_trans"],
+            "K": batch0["roi_zoom_K"],
+        }
+        dstate = de.init_state(rcfg, dmodel, dinit)
+        if ss.refiner_weights.endswith(".npz"):
+            from self6dpp_tpu.engine.checkpoint import load_params_npz
+            tree = load_params_npz(
+                ss.refiner_weights,
+                {"params": dstate.params, "batch_stats": dstate.batch_stats},
+                strict=False)
+            dstate = dstate.replace(params=tree["params"],
+                                    batch_stats=tree["batch_stats"])
+        elif ss.refiner_weights:
+            dstate = CheckpointManager(ss.refiner_weights).load_weights(dstate)
+        else:
+            logger.warning("refine_with_deepim without refiner_weights: "
+                           "using a random-init refiner (smoke mode)")
+        dvars = {"params": dstate.params}
+        if dstate.batch_stats:
+            dvars["batch_stats"] = dstate.batch_stats
+        refiner = (dmodel, dvars, rcfg)
+        logger.info(f"DeepIM refiner in the loop: {ss.refiner_config}")
+
+    pose_step = se.jit_self_train_step(
+        cfg, model, lpips, refiner=refiner, ema_update_every=ema_every,
+        mesh=mesh)
+    geo_step = se.jit_self_geo_train_step(
+        cfg, model, ema_update_every=ema_every, mesh=mesh)
+    geo_ratio = ss.geo_mode_ratio
     rng_np = np.random.default_rng(cfg.seed)
 
+    # TRAIN2 synthetic-supervised interleave (self_engine.py:409-421)
+    synsup_step = None
+    batches2 = None
+    train2_ratio = cfg.data.train2_ratio
+    if train2_ratio > 0 and cfg.data.train2_datasets:
+        ds2, _, _ = build_dataset(cfg, train=True,
+                                  dataset_names=cfg.data.train2_datasets)
+        batches2 = ds2.batches(cfg.solver.ims_per_batch)
+        synsup_step = se.jit_synsup_train_step(
+            cfg, model, ema_update_every=ema_every, mesh=mesh)
+        logger.info(f"TRAIN2 interleave: ratio={train2_ratio} "
+                    f"datasets={cfg.data.train2_datasets}")
+
+    def mixed_batches():
+        """Per-iteration choice of syn-sup vs self batch and pose/geo mode
+        (self_engine.py:409-421); marker keys route the jitted step."""
+        while True:
+            if synsup_step is not None and rng_np.random() < train2_ratio:
+                yield dict(next(batches2), _synsup=np.int32(1))
+            elif geo_ratio > 0 and rng_np.random() < geo_ratio:
+                yield dict(next(batches), _geo=np.int32(1))
+            else:
+                yield next(batches)
+
     def train_step(state, batch, rng):
-        if geo_ratio > 0 and rng_np.random() < geo_ratio:
+        if "_synsup" in batch:
+            return synsup_step(state, batch, rng)
+        if "_geo" in batch:
             return geo_step(state, batch, rng)
         return pose_step(state, lp, batch, rng)
 
-    do_train(cfg, state, train_step, batches, to_device, resume=args.resume)
+    do_train(cfg, state, train_step, mixed_batches(), to_device,
+             resume=args.resume)
 
 
 if __name__ == "__main__":
