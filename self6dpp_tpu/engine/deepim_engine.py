@@ -120,8 +120,11 @@ def make_refine_fn(cfg: Config, model: DeepIM, n_iter: int,
     return refine
 
 
-def make_train_step(cfg: Config, model: DeepIM):
-    refine = make_refine_fn(cfg, model, cfg.deepim.n_iter_train, with_loss=True)
+def make_train_step(cfg: Config, model: DeepIM, n_iter: int | None = None):
+    """n_iter overrides cfg.deepim.n_iter_train (the warmup ramp builds one
+    jitted step per refine count; engine.py:275-294 N_ITER_TRAIN_WARM_EPOCH)."""
+    n_iter = cfg.deepim.n_iter_train if n_iter is None else n_iter
+    refine = make_refine_fn(cfg, model, n_iter, with_loss=True)
     decay_fn = ema_decay_schedule(cfg.solver.ema_decay, cfg.solver.ema_warmup_iters)
 
     def train_step(state: TrainState, batch: dict[str, Array], rng: Array):
@@ -155,7 +158,7 @@ def make_eval_step(cfg: Config, model: DeepIM):
 
 
 def init_state(cfg: Config, model: DeepIM, batch: dict[str, Array],
-               rng: Array | None = None) -> TrainState:
+               rng: Array | None = None, mesh: Mesh | None = None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     dcfg = cfg.deepim
     x = jnp.zeros((batch["init_rot"].shape[0], dcfg.input_h, dcfg.input_w,
@@ -166,6 +169,39 @@ def init_state(cfg: Config, model: DeepIM, batch: dict[str, Array],
     # flat-vector updates unless params are fsdp-sharded
     tx, _ = build_optimizer(cfg.solver,
                             flatten=cfg.dist.mesh_shape[-1] == 1)
-    return create_train_state(variables["params"],
-                              variables.get("batch_stats", {}), tx,
-                              with_ema=cfg.solver.ema_decay > 0)
+    state = create_train_state(variables["params"],
+                               variables.get("batch_stats", {}), tx,
+                               with_ema=cfg.solver.ema_decay > 0)
+    if mesh is not None:
+        from ..parallel.mesh import shard_state
+        state = shard_state(state, mesh, cfg.dist)
+    return state
+
+
+def jit_train_step(cfg: Config, model: DeepIM, mesh: Mesh | None = None,
+                   n_iter: int | None = None):
+    step = make_train_step(cfg, model, n_iter=n_iter)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    from ..parallel.mesh import step_shardings
+    st, data, repl = step_shardings(mesh, cfg.dist)
+    return jax.jit(step, in_shardings=(st, data, repl), donate_argnums=(0,))
+
+
+def warm_n_iter(dcfg: DeepIMConfig, iteration: int) -> int:
+    """Refine-count warmup ramp (engine.py:275-294): 1 -> n_iter_train over
+    the first n_iter_train_warm_iters iterations."""
+    n = max(1, dcfg.n_iter_train)
+    if dcfg.n_iter_train_warm_iters <= 0:
+        return n
+    return min(n, max(1, int(n * (iteration + 1)
+                             / dcfg.n_iter_train_warm_iters)))
+
+
+def jit_eval_step(cfg: Config, model: DeepIM, mesh: Mesh | None = None):
+    step = make_eval_step(cfg, model)
+    if mesh is None:
+        return jax.jit(step)
+    from ..parallel.mesh import step_shardings
+    st, data, _ = step_shardings(mesh, cfg.dist)
+    return jax.jit(step, in_shardings=(st, data), out_shardings=data)

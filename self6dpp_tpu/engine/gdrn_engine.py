@@ -40,7 +40,7 @@ def build_gdrn(cfg: Config) -> GDRN:
 
 
 def init_state(cfg: Config, model: GDRN, batch: dict[str, Array],
-               rng: Array | None = None) -> TrainState:
+               rng: Array | None = None, mesh: Mesh | None = None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     # jit the init: eager per-op dispatch is pathologically slow on remote
     # TPU backends (~100x), one compiled program is not
@@ -49,9 +49,13 @@ def init_state(cfg: Config, model: GDRN, batch: dict[str, Array],
     # flat-vector updates unless params are fsdp-sharded
     tx, _ = build_optimizer(cfg.solver,
                             flatten=cfg.dist.mesh_shape[-1] == 1)
-    return create_train_state(
+    state = create_train_state(
         variables["params"], variables.get("batch_stats", {}), tx,
         with_ema=cfg.solver.ema_decay > 0)
+    if mesh is not None:
+        from ..parallel.mesh import shard_state
+        state = shard_state(state, mesh, cfg.dist)
+    return state
 
 
 def make_train_step(cfg: Config, model: GDRN, donate: bool = True):
@@ -106,6 +110,13 @@ def jit_train_step(cfg: Config, model: GDRN, mesh: Mesh | None = None):
         return jax.jit(step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(cfg.dist.data_axis))
+    if mesh.shape.get(cfg.dist.fsdp_axis, 1) > 1:
+        # params arrive fsdp-sharded from init_state/shard_state: leave the
+        # state sharding unspecified so jit takes it from the committed
+        # inputs and GSPMD propagates (all-gather before use,
+        # reduce-scatter on the grads)
+        return jax.jit(step, in_shardings=(None, data, repl),
+                       donate_argnums=(0,))
     return jax.jit(
         step,
         in_shardings=(repl, data, repl),
@@ -121,4 +132,6 @@ def jit_eval_step(cfg: Config, model: GDRN, mesh: Mesh | None = None,
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(cfg.dist.data_axis))
+    if mesh.shape.get(cfg.dist.fsdp_axis, 1) > 1:
+        return jax.jit(step, in_shardings=(None, data), out_shardings=data)
     return jax.jit(step, in_shardings=(repl, data), out_shardings=data)

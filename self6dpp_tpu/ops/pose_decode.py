@@ -110,10 +110,14 @@ def pose_from_delta_init(
     """
     trans_deltas = trans_deltas * delta_T_weight
     if delta_T_space == "image":
-        zsrc = trans_inits[:, 2:3]
+        # the object stays in front of the camera: the cosypose-style
+        # multiplicative vz can predict <=0 for an untrained net, and a
+        # chained refine iteration then divides by ~0 (xy_src/zsrc) -> NaN
+        # poisoning the whole in-graph refine scan
+        zsrc = jnp.maximum(trans_inits[:, 2:3], eps)
         vz = trans_deltas[:, 2:3]
         if delta_z_style == "cosypose":
-            ztgt = vz * zsrc
+            ztgt = jnp.maximum(vz * zsrc, eps)
         else:  # deepim: vz = log(zsrc/ztgt)
             ztgt = zsrc / jnp.exp(vz)
         vxvy = trans_deltas[:, :2]
@@ -126,6 +130,8 @@ def pose_from_delta_init(
         trans_tgts = jnp.concatenate([xy_tgt, ztgt], axis=-1)
     elif delta_T_space == "3D":
         trans_tgts = trans_inits + trans_deltas
+        trans_tgts = jnp.concatenate(
+            [trans_tgts[:, :2], jnp.maximum(trans_tgts[:, 2:3], eps)], axis=-1)
     else:
         raise ValueError(f"unknown delta_T_space: {delta_T_space}")
 

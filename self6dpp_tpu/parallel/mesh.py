@@ -64,7 +64,75 @@ def param_sharding_rules(params: Any, mesh: Mesh, cfg: DistConfig | None = None,
     return jax.tree.map(rule, params)
 
 
-def shard_batch(batch: dict, mesh: Mesh, cfg: DistConfig | None = None) -> dict:
-    """Place a host batch onto the mesh, split over the data axis."""
+def shard_batch(batch: dict, mesh: Mesh, cfg: DistConfig | None = None,
+                batch_size: int | None = None) -> dict:
+    """Place a host batch onto the mesh: batch-major arrays split over the
+    data axis, everything else (per-class mesh tables, scalars) replicated."""
     sh = batch_sharding(mesh, cfg)
-    return {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+    repl = replicated(mesh)
+    arrs = {k: jnp.asarray(v) for k, v in batch.items()}
+    if batch_size is None:
+        if "roi_img" in arrs:
+            batch_size = arrs["roi_img"].shape[0]
+        else:
+            dims = [v.shape[0] for v in arrs.values() if v.ndim > 0]
+            batch_size = max(set(dims), key=dims.count) if dims else 0
+    return {
+        k: jax.device_put(
+            v, sh if v.ndim > 0 and v.shape[0] == batch_size else repl)
+        for k, v in arrs.items()
+    }
+
+
+def shard_state(state, mesh: Mesh, cfg: DistConfig | None = None):
+    """Place a TrainState onto the mesh: params/ema sharded by
+    `param_sharding_rules` over the fsdp axis, batch_stats/step replicated,
+    optimizer moments sharded like the params they mirror (matched by shape —
+    optax component states carry param-shaped leaves such as adam mu/nu and
+    lookahead slow weights).
+
+    This is what makes the fsdp axis real: each chip holds 1/fsdp of every
+    large parameter and XLA inserts the all-gathers/reduce-scatters around
+    the matmuls (the reference is data-parallel only, SURVEY.md §2.7).
+    """
+    cfg = cfg or DistConfig()
+    rules = param_sharding_rules(state.params, mesh, cfg)
+    repl = NamedSharding(mesh, P())
+
+    shape2shard: dict[tuple, NamedSharding] = {}
+    for p, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(rules)):
+        shape2shard.setdefault(tuple(p.shape), s)
+
+    def put_like_param(x):
+        if hasattr(x, "shape"):
+            return jax.device_put(x, shape2shard.get(tuple(x.shape), repl))
+        return x
+
+    return state.replace(
+        params=jax.tree.map(jax.device_put, state.params, rules),
+        ema_params=(jax.tree.map(jax.device_put, state.ema_params, rules)
+                    if state.ema_params is not None else None),
+        batch_stats=jax.tree.map(lambda x: jax.device_put(x, repl),
+                                 state.batch_stats),
+        opt_state=jax.tree.map(put_like_param, state.opt_state),
+        step=jax.device_put(state.step, repl),
+    )
+
+
+def fsdp_size(mesh: Mesh, cfg: DistConfig | None = None) -> int:
+    cfg = cfg or DistConfig()
+    return mesh.shape.get(cfg.fsdp_axis, 1)
+
+
+def step_shardings(mesh: Mesh, cfg: DistConfig | None = None):
+    """(state_sharding, batch_sharding, replicated) for jitting train steps.
+
+    state sharding is None (= infer from the committed input arrays) when the
+    fsdp axis is active — init_state/shard_state already placed the params —
+    and fully-replicated otherwise.
+    """
+    cfg = cfg or DistConfig()
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(cfg.data_axis))
+    state = None if fsdp_size(mesh, cfg) > 1 else repl
+    return state, data, repl

@@ -122,3 +122,22 @@ def test_eval_step(setup):
     ev = jax.jit(de.make_eval_step(cfg, model))
     out = ev(state, batch)
     assert out["rot"].shape == (2, 3, 3)
+
+
+def test_warm_n_iter_ramp():
+    """Refine-count warmup (reference N_ITER_TRAIN_WARM_EPOCH,
+    core/deepim/engine/engine.py:275-294)."""
+    import dataclasses
+    from self6dpp_tpu.config.base import DeepIMConfig
+    from self6dpp_tpu.engine.deepim_engine import warm_n_iter
+
+    d = DeepIMConfig(n_iter_train=4, n_iter_train_warm_iters=100)
+    assert warm_n_iter(d, 0) == 1
+    assert warm_n_iter(d, 24) == 1
+    assert warm_n_iter(d, 25) == 1        # 4*26/100 = 1.04 -> 1
+    assert warm_n_iter(d, 49) == 2
+    assert warm_n_iter(d, 99) == 4
+    assert warm_n_iter(d, 5000) == 4
+    # disabled ramp: always full count
+    d0 = dataclasses.replace(d, n_iter_train_warm_iters=0)
+    assert warm_n_iter(d0, 0) == 4

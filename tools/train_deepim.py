@@ -37,11 +37,14 @@ def main():
     from self6dpp_tpu.engine.writers import setup_logger
     from tools.train_gdrn import build_dataset
 
+    from self6dpp_tpu.parallel.mesh import make_mesh, shard_batch
+
     cfg = apply_overrides(load_config(args.config), args.opts)
     logger = setup_logger(os.path.join(cfg.output_dir, cfg.exp_name))
 
     ds, models, meta = build_dataset(cfg, train=not args.eval_only)
     model = de.build_deepim(cfg)
+    mesh = make_mesh(cfg.dist) if len(jax.devices()) > 1 else None
     rng_np = np.random.default_rng(cfg.seed)
 
     def to_device(batch):
@@ -54,6 +57,8 @@ def main():
         db["obs_box"] = jnp.concatenate(
             [db["roi_center"] - db["roi_wh"] / 2,
              db["roi_center"] + db["roi_wh"] / 2], axis=1)
+        if mesh is not None:
+            db = shard_batch(db, mesh, cfg.dist)
         return db
 
     def simple_batches():
@@ -71,7 +76,7 @@ def main():
 
     batches = simple_batches()
     batch0 = to_device(next(batches))
-    state = de.init_state(cfg, model, batch0)
+    state = de.init_state(cfg, model, batch0, mesh=mesh)
     if args.init_npz:
         from self6dpp_tpu.engine.checkpoint import load_params_npz
         tree = load_params_npz(args.init_npz,
@@ -88,14 +93,24 @@ def main():
                                                    table_to_markdown)
         ckpt = CheckpointManager(f"{cfg.output_dir}/{cfg.exp_name}/ckpt")
         state, _ = ckpt.resume_or_load(state, resume=True)
-        step = jax.jit(de.make_eval_step(cfg, model))
+        step = de.jit_eval_step(cfg, model, mesh=mesh)
         ev = PoseEvaluator(models, meta)
         run_inference(step, state, simple_batches(), ev,
                       to_device=to_device)
         print(table_to_markdown(ev.evaluate()))
         return
 
-    step = jax.jit(de.make_train_step(cfg, model), donate_argnums=(0,))
+    if cfg.deepim.n_iter_train_warm_iters > 0:
+        # refine-count warmup ramp: one jitted step per count, built lazily
+        steps: dict[int, object] = {}
+
+        def step(state, batch, rng):
+            n = de.warm_n_iter(cfg.deepim, int(state.step))
+            if n not in steps:
+                steps[n] = de.jit_train_step(cfg, model, mesh=mesh, n_iter=n)
+            return steps[n](state, batch, rng)
+    else:
+        step = de.jit_train_step(cfg, model, mesh=mesh)
     do_train(cfg, state, step, batches, to_device, resume=args.resume)
 
 

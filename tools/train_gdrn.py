@@ -42,13 +42,15 @@ def load_init_npz(state, path: str):
                          batch_stats=tree["batch_stats"])
 
 
-def build_dataset(cfg, train: bool, det_file: str = ""):
+def build_dataset(cfg, train: bool, det_file: str = "",
+                  dataset_names: tuple[str, ...] | None = None):
     from self6dpp_tpu.data.bop import (inject_detections, load_bop_split,
                                        load_detections)
     from self6dpp_tpu.data.loader import GDRNDataset, ObjectModels
     from self6dpp_tpu.data.ref import get_meta
 
-    names = cfg.data.train_datasets if train else cfg.data.test_datasets
+    names = dataset_names if dataset_names else (
+        cfg.data.train_datasets if train else cfg.data.test_datasets)
     name = names[0]
     meta = get_meta(name)
     split = "train" if train else "test"
@@ -100,7 +102,7 @@ def main():
         ds, models, meta = build_dataset(cfg, train=False,
                                          det_file=args.det_file)
         batch0 = next(ds.batches(cfg.solver.ims_per_batch, infinite=True))
-        state = eng.init_state(cfg, model, to_device(batch0))
+        state = eng.init_state(cfg, model, to_device(batch0), mesh=mesh)
         if args.init_npz:
             state = load_init_npz(state, args.init_npz)
         else:
@@ -121,7 +123,7 @@ def main():
     ds, models, meta = build_dataset(cfg, train=True)
     batches = ds.batches(cfg.solver.ims_per_batch)
     batch0 = to_device(next(batches))
-    state = eng.init_state(cfg, model, batch0)
+    state = eng.init_state(cfg, model, batch0, mesh=mesh)
     if args.init_npz:
         state = load_init_npz(state, args.init_npz)
     step = eng.jit_train_step(cfg, model, mesh=mesh)

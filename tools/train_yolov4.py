@@ -90,14 +90,24 @@ def main():
         return (jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(targets)),
                 jnp.asarray(np.stack(tvalid)))
 
+    from self6dpp_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                            shard_state, step_shardings)
+
+    mesh = make_mesh(cfg.dist) if len(jax.devices()) > 1 else None
     bs = max(cfg.solver.ims_per_batch // 4, 1)
+    if mesh is not None:
+        data_par = mesh.shape[cfg.dist.data_axis]
+        bs = max(bs // data_par, 1) * data_par    # divisible batch
     x0, t0_, v0 = make_batch(records[:bs])
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(cfg.seed), x0)
-    tx, _ = build_optimizer(cfg.solver)
+    tx, _ = build_optimizer(cfg.solver,
+                            flatten=cfg.dist.mesh_shape[-1] == 1)
     state = create_train_state(variables["params"],
                                variables.get("batch_stats", {}), tx,
                                with_ema=False)
+    if mesh is not None:
+        state = shard_state(state, mesh, cfg.dist)
 
     if args.eval_only:
         ckpt = CheckpointManager(f"{cfg.output_dir}/{cfg.exp_name}/ckpt")
@@ -159,8 +169,15 @@ def main():
             for i in range(0, len(records) - bs + 1, bs):
                 yield make_batch([records[j] for j in order[i : i + bs]])
 
-    do_train(cfg, state, jax.jit(train_step, donate_argnums=(0,)), batches(),
-             lambda b: b, resume=args.resume)
+    if mesh is None:
+        step = jax.jit(train_step, donate_argnums=(0,))
+        to_device = lambda b: b
+    else:
+        st, data, repl = step_shardings(mesh, cfg.dist)
+        step = jax.jit(train_step, in_shardings=(st, (data, data, data), repl),
+                       donate_argnums=(0,))
+        to_device = lambda b: tuple(jax.device_put(a, data) for a in b)
+    do_train(cfg, state, step, batches(), to_device, resume=args.resume)
 
 
 if __name__ == "__main__":
