@@ -145,3 +145,15 @@ def replace_bg(img: np.ndarray, mask: np.ndarray, bg: np.ndarray,
                 cut = rng.integers(ys.min(), max(ys.max(), ys.min() + 1))
                 m[cut:, :] = 0 if rng.random() < 0.5 else m[cut:, :]
     return img * m[..., None] + bg * (1 - m[..., None])
+
+
+def add_noise_depth(depth: np.ndarray, rng: np.random.Generator,
+                    level: float = 0.1) -> np.ndarray:
+    """Gaussian depth noise with a uniformly drawn per-image level
+    (reference core/utils/depth_aug.py:5 add_noise_depth, from
+    DeepIM-PyTorch). depth (H, W) [or (H, W, C), shared noise per pixel]."""
+    noise_level = rng.uniform(0, level)
+    gauss = noise_level * rng.standard_normal(depth.shape[:2])
+    if depth.ndim == 3:
+        gauss = np.repeat(gauss[:, :, None], depth.shape[2], axis=2)
+    return (depth + gauss).astype(np.float32)

@@ -28,6 +28,26 @@ from .meshes import load_ply
 from .ref import DatasetMeta, sym_rotations_from_info
 
 
+def compute_vf_np(fps_points: np.ndarray, K: np.ndarray, R: np.ndarray,
+                  t: np.ndarray, center, scale, out_res: int,
+                  mask: np.ndarray) -> np.ndarray:
+    """Numpy twin of ops.geometry.compute_vf for the host data pipeline
+    (reference compute_vf_torch, core/utils/data_utils.py:357): per crop
+    pixel, unit direction to each projected FPS keypoint, masked.
+    Returns (out_res, out_res, 2f) float32."""
+    cam = fps_points @ R.T + t                       # (f,3)
+    kp = (cam[:, :2] / np.maximum(cam[:, 2:3], 1e-8))
+    kp = kp * np.array([K[0, 0], K[1, 1]]) + np.array([K[0, 2], K[1, 2]])
+    lin = (np.arange(out_res, dtype=np.float32) + 0.5) / out_res
+    px = center[0] - scale / 2 + scale * lin
+    py = center[1] - scale / 2 + scale * lin
+    grid = np.stack(np.meshgrid(px, py), axis=-1)    # (o,o,2) x-major cols
+    vf = kp[None, None, :, :] - grid[:, :, None, :]  # (o,o,f,2)
+    vf /= np.maximum(np.linalg.norm(vf, axis=-1, keepdims=True), 1e-8)
+    vf = vf.reshape(out_res, out_res, -1) * mask[..., None]
+    return vf.astype(np.float32)
+
+
 @dataclass
 class ObjectModels:
     """Per-class static mesh/metadata tensors (padded)."""
@@ -129,6 +149,10 @@ class GDRNDataset:
             for ii in range(len(r.instances))
         ]
         self._coord2d_cache: dict[tuple, np.ndarray] = {}
+        self._render_fns: dict = {}
+        # per-sample child rngs for thread-pooled workers (the shared
+        # Generator is not thread-safe); spawned serially by make_samples
+        self._seed_seq = np.random.SeedSequence(seed + 0x5EED)
 
     def __len__(self):
         return len(self.index)
@@ -157,9 +181,12 @@ class GDRNDataset:
         return d.astype(np.float32) * rec.depth_scale / 1000.0
 
     def _render_xyz(self, cls_idx: int, K: np.ndarray, R: np.ndarray,
-                    t: np.ndarray, center, scale, out_res: int):
-        """Online GT xyz/mask rendering in the output-res crop frame
-        (replaces the EGL path, data_loader.py:498-521)."""
+                    t: np.ndarray, center, scale, out_res: int,
+                    with_normals: bool = False):
+        """Online GT xyz(/normal)/mask rendering in the output-res crop frame
+        (replaces the EGL path, data_loader.py:498-521; normal GT replaces
+        the offline make_norm_images.py tool). Returns (xyz, mask[, normals])
+        with normals in the camera frame, unit length inside the mask."""
         import jax
         import jax.numpy as jnp
         from ..ops.rasterizer import rasterize_single
@@ -167,6 +194,12 @@ class GDRNDataset:
         box = np.array([[center[0] - scale / 2, center[1] - scale / 2,
                          center[0] + scale / 2, center[1] + scale / 2]],
                        np.float32)
+        attrs = self.models.verts[cls_idx]
+        if with_normals:
+            # one 6-channel rasterization: object-frame xyz ++ object-frame
+            # normals (interpolation commutes with the later rotation)
+            attrs = np.concatenate([attrs, self.models.normals[cls_idx]],
+                                   axis=1)
         # data-pipeline renders run on the host CPU backend so they never
         # contend with the accelerator (the reference instead spins up an
         # EGL GPU context per loader worker, data_loader.py:1076)
@@ -180,15 +213,30 @@ class GDRNDataset:
             out = rasterize_single(
                 jnp.asarray(self.models.verts[cls_idx]),
                 jnp.asarray(self.models.faces[cls_idx]),
-                jnp.asarray(self.models.verts[cls_idx]),
+                jnp.asarray(attrs),
                 jnp.asarray(Kz), jnp.asarray(R), jnp.asarray(t),
                 height=out_res, width=out_res, tile_px=8, faces_per_tile=64,
                 with_prob=False)
-            return np.asarray(out.attr), np.asarray(out.mask)
+            attr = np.asarray(out.attr)
+            mask = np.asarray(out.mask)
+        if not with_normals:
+            return attr, mask
+        n_cam = attr[..., 3:6] @ R.T
+        n_cam /= np.maximum(np.linalg.norm(n_cam, axis=-1, keepdims=True),
+                            1e-8)
+        n_cam *= mask[..., None]
+        return attr[..., :3], mask, n_cam.astype(np.float32)
 
     # ------------------------------------------------------------------
-    def make_sample(self, ri: int, ii: int) -> dict[str, np.ndarray]:
+    def _sample_host(self, ri: int, ii: int,
+                     rng: np.random.Generator | None = None
+                     ) -> dict[str, np.ndarray]:
+        """CPU-only part of sample building (IO, augmentation, crops, SITE
+        targets). The render-dependent labels are filled by _finish_samples
+        from ONE batched rasterizer call per batch — the reference instead
+        renders per sample inside each worker (data_loader.py:498-521)."""
         cfg = self.cfg
+        rng = rng if rng is not None else self.rng
         rec = self.records[ri]
         inst = rec.instances[ii]
         meta = self.meta
@@ -203,17 +251,17 @@ class GDRNDataset:
         mask_full = self._load_mask(inst.mask_full_path, img.shape)
 
         if self.train and self.bg_images and \
-                self.rng.random() < cfg.data.bg_replace_prob:
-            bg = self.bg_images[self.rng.integers(len(self.bg_images))]
+                rng.random() < cfg.data.bg_replace_prob:
+            bg = self.bg_images[rng.integers(len(self.bg_images))]
             img = replace_bg(img, mask_full, bg,
-                             truncate_fg=cfg.data.truncate_fg, rng=self.rng)
+                             truncate_fg=cfg.data.truncate_fg, rng=rng)
         if self.train and cfg.data.color_aug_prob > 0:
-            img = color_aug(img, self.rng, cfg.data.color_aug_prob)
+            img = color_aug(img, rng, cfg.data.color_aug_prob)
 
         bbox = inst.bbox_visib
         dzi = cfg.data.dzi if self.train else \
             type(cfg.data.dzi)(type="none", pad_scale=cfg.data.dzi.pad_scale)
-        center, scale = aug_bbox_dzi(dzi, bbox, im_h, im_w, self.rng)
+        center, scale = aug_bbox_dzi(dzi, bbox, im_h, im_w, rng)
 
         roi_img = crop_resize_by_warp_affine(img, center, scale, s_in)
         m_visib = crop_resize_by_warp_affine(mask_visib, center, scale, s_out,
@@ -227,15 +275,20 @@ class GDRNDataset:
         coord2d = crop_resize_by_warp_affine(
             self._coord2d_cache[key], center, scale, s_out)
 
-        # gt xyz + obj mask in the crop frame (online render)
         R, t = inst.R, inst.t
-        xyz_obj, m_obj = self._render_xyz(cls_idx, rec.K, R, t, center,
-                                          scale, s_out)
-        ext = np.maximum(self.models.extents[cls_idx], 1e-8)
-        xyz_norm = np.where(m_obj[..., None] > 0,
-                            xyz_obj / ext + 0.5, 0.0).astype(np.float32)
-        region = xyz_to_region(xyz_obj, self.models.fps_points[cls_idx],
-                               m_obj * m_visib if self.train else m_obj)
+
+        roi_depth = None
+        if cfg.data.with_depth:
+            depth = self._load_depth(rec)
+            if depth is None:
+                depth = np.zeros(img.shape[:2], np.float32)
+            if self.train and cfg.data.depth_aug_prob > 0 and \
+                    rng.random() < cfg.data.depth_aug_prob:
+                from .aug import add_noise_depth
+                depth = add_noise_depth(depth, rng,
+                                        level=cfg.data.depth_aug_level)
+            roi_depth = crop_resize_by_warp_affine(
+                depth, center, scale, s_in, interpolation="nearest")
 
         # SITE targets
         obj_center = rec.K @ t
@@ -257,15 +310,8 @@ class GDRNDataset:
             "roi_extent": self.models.extents[cls_idx],
             "resize_ratio": np.float32(resize_ratio),
             "roi_coord_2d": coord2d.astype(np.float32),
-            "gt_xyz": xyz_norm,
-            "gt_xyz_bin": np.clip((xyz_norm *
-                                   cfg.model.geo_head.xyz_bin).astype(np.int32),
-                                  0, cfg.model.geo_head.xyz_bin - 1),
-            "gt_mask_trunc": (m_visib * m_obj).astype(np.float32),
             "gt_mask_visib": m_visib.astype(np.float32),
-            "gt_mask_obj": m_obj.astype(np.float32),
             "gt_mask_full": m_full.astype(np.float32),
-            "gt_region": region.astype(np.int32),
             "gt_rot": R.astype(np.float32),
             "gt_trans": t.astype(np.float32),
             "gt_trans_ratio": trans_ratio,
@@ -276,7 +322,11 @@ class GDRNDataset:
             "scene_im_id_im": np.int32(rec.im_id),
             "obj_id": np.int32(inst.obj_id),
             "score": np.float32(inst.score),
+            # render-job fields consumed by _finish_samples
+            "_scale": np.float32(scale),
         }
+        if roi_depth is not None:
+            sample["roi_depth"] = roi_depth.astype(np.float32)
         if inst.pose_est is not None:
             sample["pose_est_rot"] = inst.pose_est[:, :3].astype(np.float32)
             sample["pose_est_trans"] = inst.pose_est[:, 3].astype(np.float32)
@@ -286,29 +336,202 @@ class GDRNDataset:
         return sample
 
     # ------------------------------------------------------------------
-    def batches(self, batch_size: int, infinite: bool | None = None
-                ) -> Iterator[dict[str, np.ndarray]]:
-        """Infinite shuffled batches for train (TrainingSampler parity),
-        one sequential padded epoch for test (InferenceSampler)."""
-        infinite = self.train if infinite is None else infinite
-        n = len(self.index)
-        if infinite:
-            while True:
-                order = self.rng.permutation(n)
-                for i in range(0, n - batch_size + 1, batch_size):
-                    idx = order[i : i + batch_size]
-                    yield self._collate([self.make_sample(*self.index[j])
-                                         for j in idx])
+    def _batched_render(self, cls, K, R, t, center, scale, out_res: int,
+                        with_normals: bool):
+        """One rasterizer dispatch for the whole batch (jitted per batch
+        shape, pinned to the host CPU backend)."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.rasterizer import rasterize_batch
+        from ..ops.zoom import zoom_K as _zoom_K
+
+        B = len(cls)
+        key = (B, out_res, with_normals)
+        if key not in self._render_fns:
+            verts = jnp.asarray(self.models.verts)
+            faces = jnp.asarray(self.models.faces)
+            normals = jnp.asarray(self.models.normals)
+
+            def fn(cls_, K_, boxes_, R_, t_):
+                v = verts[cls_]
+                a = (jnp.concatenate([v, normals[cls_]], axis=-1)
+                     if with_normals else v)
+                Kz = _zoom_K(K_, boxes_, (out_res, out_res))
+                return rasterize_batch(
+                    v, faces[cls_], a, Kz, R_, t_, height=out_res,
+                    width=out_res, tile_px=8, faces_per_tile=64,
+                    with_prob=False, impl="xla")
+
+            self._render_fns[key] = jax.jit(fn)
+        x1 = center[:, 0] - scale / 2
+        y1 = center[:, 1] - scale / 2
+        boxes = np.stack([x1, y1, x1 + scale, y1 + scale], axis=1)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = jax.devices()[0]
+        with jax.default_device(cpu):
+            out = self._render_fns[key](cls, K, boxes.astype(np.float32),
+                                        R, t)
+            return np.asarray(out.attr), np.asarray(out.mask)
+
+    def _finish_samples(self, samples: list[dict]) -> list[dict]:
+        """Fill the render-dependent labels (xyz/region/obj-mask/vf/norm)
+        from one batched GT render."""
+        cfg = self.cfg
+        gh = cfg.model.geo_head
+        s_out = cfg.model.output_res
+        cls = np.asarray([s["roi_cls"] for s in samples])
+        K = np.stack([s["roi_cam"] for s in samples])
+        R = np.stack([s["gt_rot"] for s in samples])
+        t = np.stack([s["gt_trans"] for s in samples])
+        center = np.stack([s["roi_center"] for s in samples])
+        scale = np.asarray([s.pop("_scale") for s in samples])
+
+        attr, m_obj_b = self._batched_render(cls, K, R, t, center, scale,
+                                             s_out, gh.with_norm)
+        for i, s in enumerate(samples):
+            ci = int(cls[i])
+            xyz_obj = attr[i, ..., :3]
+            m_obj = m_obj_b[i]
+            m_visib = s["gt_mask_visib"]
+            ext = np.maximum(self.models.extents[ci], 1e-8)
+            xyz_norm = np.where(m_obj[..., None] > 0,
+                                xyz_obj / ext + 0.5, 0.0).astype(np.float32)
+            region = xyz_to_region(
+                xyz_obj, self.models.fps_points[ci],
+                m_obj * m_visib if self.train else m_obj)
+            s["gt_xyz"] = xyz_norm
+            s["gt_xyz_bin"] = np.clip(
+                (xyz_norm * gh.xyz_bin).astype(np.int32), 0, gh.xyz_bin - 1)
+            s["gt_mask_trunc"] = (m_visib * m_obj).astype(np.float32)
+            s["gt_mask_obj"] = m_obj.astype(np.float32)
+            s["gt_region"] = region.astype(np.int32)
+            if gh.with_vf:
+                # supervised keypoint vector fields (compute_vf_torch parity,
+                # core/utils/data_utils.py:357; offline tools/make_vf_file.py)
+                f = gh.num_vf_points
+                s["gt_vf_vis"] = compute_vf_np(
+                    self.models.fps_points[ci][:f], K[i], R[i], t[i],
+                    center[i], scale[i], s_out, m_visib * m_obj)
+                s["gt_vf_full"] = compute_vf_np(
+                    self.models.fps_points[ci][:f], K[i], R[i], t[i],
+                    center[i], scale[i], s_out, m_obj)
+            if gh.with_norm:
+                n_cam = attr[i, ..., 3:6] @ R[i].T
+                n_cam /= np.maximum(
+                    np.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-8)
+                s["gt_norm"] = (n_cam * m_obj[..., None]).astype(np.float32)
+        return samples
+
+    def make_samples(self, keys: list[tuple[int, int]],
+                     pool=None) -> list[dict[str, np.ndarray]]:
+        if pool is not None:
+            # deterministic child rngs, spawned serially in the caller
+            rngs = [np.random.default_rng(s)
+                    for s in self._seed_seq.spawn(len(keys))]
+            partials = list(pool.map(
+                lambda kr: self._sample_host(kr[0][0], kr[0][1], rng=kr[1]),
+                zip(keys, rngs)))
         else:
-            for i in range(0, n, batch_size):
-                idx = list(range(i, min(i + batch_size, n)))
-                samples = [self.make_sample(*self.index[j]) for j in idx]
-                pad = batch_size - len(samples)
-                batch = self._collate(samples + [samples[-1]] * pad)
-                batch["_valid"] = np.array(
-                    [1] * len(samples) + [0] * pad, np.int32)
-                yield batch
+            partials = [self._sample_host(ri, ii) for ri, ii in keys]
+        return self._finish_samples(partials)
+
+    def make_sample(self, ri: int, ii: int) -> dict[str, np.ndarray]:
+        return self.make_samples([(ri, ii)])[0]
+
+    # ------------------------------------------------------------------
+    def _index_sampler(self, n: int) -> Iterator[int]:
+        """Training index stream per cfg.data.sampler (my_distributed_sampler
+        parity — SURVEY §2.5 row 32)."""
+        from .samplers import (infinite_subset_random_sampler,
+                               repeat_factor_sampler,
+                               repeat_factors_from_category_frequency,
+                               training_sampler)
+        name = self.cfg.data.sampler
+        seed = int(self.rng.integers(2 ** 31))
+        if name == "training":
+            return training_sampler(n, seed=seed)
+        if name == "repeat_factor":
+            cats = np.asarray(
+                [self.records[ri].instances[ii].obj_id
+                 for ri, ii in self.index])
+            rf = repeat_factors_from_category_frequency(
+                cats, self.cfg.data.repeat_thresh)
+            return repeat_factor_sampler(rf, seed=seed)
+        if name == "inf_subset":
+            return infinite_subset_random_sampler(
+                n, self.cfg.data.subset_ratio, seed=seed)
+        raise ValueError(f"unknown sampler: {name}")
+
+    def batches(self, batch_size: int, infinite: bool | None = None,
+                num_workers: int | None = None, prefetch: int | None = None
+                ) -> Iterator[dict[str, np.ndarray]]:
+        """Infinite sampled batches for train, one sequential padded epoch
+        for test (InferenceSampler parity).
+
+        num_workers > 0 runs the per-sample host work (IO + aug + crops) on a
+        thread pool and prefetches assembled batches on a background thread
+        (the reference uses NUM_WORKERS torch DataLoader processes,
+        data_loader.py:1146-1214; cv2/numpy release the GIL so threads
+        overlap IO and decode here without pickling batches across
+        processes)."""
+        infinite = self.train if infinite is None else infinite
+        num_workers = (self.cfg.data.num_workers if num_workers is None
+                       else num_workers)
+        prefetch = (self.cfg.data.prefetch if prefetch is None else prefetch)
+        n = len(self.index)
+
+        pool = None
+        if num_workers and num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=num_workers)
+
+        def gen():
+            if infinite:
+                stream = self._index_sampler(n)
+                while True:
+                    keys = [self.index[next(stream)]
+                            for _ in range(batch_size)]
+                    yield self._collate(self.make_samples(keys, pool=pool))
+            else:
+                for i in range(0, n, batch_size):
+                    keys = [self.index[j]
+                            for j in range(i, min(i + batch_size, n))]
+                    samples = self.make_samples(keys, pool=pool)
+                    pad = batch_size - len(samples)
+                    batch = self._collate(samples + [samples[-1]] * pad)
+                    batch["_valid"] = np.array(
+                        [1] * len(samples) + [0] * pad, np.int32)
+                    yield batch
+
+        if pool is None or prefetch <= 0:
+            return gen()
+        return _prefetch_iterator(gen(), prefetch)
 
     @staticmethod
     def _collate(samples: list[dict]) -> dict[str, np.ndarray]:
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def _prefetch_iterator(it: Iterator, depth: int) -> Iterator:
+    """Background-thread prefetch of up to `depth` ready batches."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def work():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=work, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

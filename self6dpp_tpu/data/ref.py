@@ -88,6 +88,25 @@ _YCBV_K = np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109],
 _HB_K = np.array([[537.4799, 0, 318.8965], [0, 536.1447, 238.3781],
                   [0, 0, 1]], dtype=np.float32)
 
+# HomebrewedDB (ref/hb.py:30-85): real object names and diameters (mm/1000)
+_HB_OBJECTS = (
+    "01_bear", "02_benchvise", "03_round_car", "04_thin_cow", "05_fat_cow",
+    "06_mug", "07_driller", "08_green_rabbit", "09_holepuncher", "10", "11",
+    "12", "13", "14", "15", "16", "17", "18_jaffa_cakes_box", "19_minions",
+    "20_color_dog", "21_phone", "22_rhinoceros", "23_dog", "24", "25_car",
+    "26_motorcycle", "27_high_heels", "28_stegosaurus", "29_tea_box",
+    "30_triceratops", "31_toy_baby", "32_car", "33_yellow_rabbit")
+_HB_DIAMETERS = tuple(d / 1000.0 for d in (
+    232.572, 257.407, 166.500, 179.029, 205.401,
+    121.408, 263.718, 186.813, 166.572, 180.804,
+    238.514, 156.887, 145.339, 243.733, 113.032,
+    101.588, 132.771, 211.134, 185.582, 244.828,
+    212.603, 190.203, 233.857, 252.263, 202.905,
+    183.794, 264.442, 477.464, 198.004, 416.202,
+    157.985, 201.759, 187.233))
+# the 2 LM-overlap objects Self6D++ evaluates on HB (benchvise, driller)
+# plus the phone; bop19 test split uses a Kinect with this K
+
 
 DATASETS: dict[str, DatasetMeta] = {
     "lm_full": DatasetMeta(
@@ -121,9 +140,9 @@ DATASETS: dict[str, DatasetMeta] = {
         camera_matrix=np.array([[160.0, 0, 80], [0, 160.0, 60], [0, 0, 1]],
                                dtype=np.float32)),
     "hb": DatasetMeta(
-        name="hb", objects=tuple(f"obj_{i:02d}" for i in range(1, 34)),
-        id2obj={i: f"obj_{i:02d}" for i in range(1, 34)},
-        diameters=tuple([0.2] * 33),      # refined from models_info.json
+        name="hb", objects=_HB_OBJECTS,
+        id2obj={i + 1: o for i, o in enumerate(_HB_OBJECTS)},
+        diameters=_HB_DIAMETERS,
         width=640, height=480, camera_matrix=_HB_K),
 }
 

@@ -102,6 +102,68 @@ class TestGDRNDataset:
             s["gt_trans_ratio"][2] * s["resize_ratio"], s["gt_trans"][2],
             rtol=1e-5)
 
+    def test_vf_norm_ground_truth(self, bop_root, models):
+        """Supervised VF/normal GT (VERDICT r1 #4): gt_vf_* point at the
+        projected FPS keypoints, gt_norm is unit length in-mask, and the
+        numpy loader twin agrees with ops.geometry.compute_vf."""
+        import dataclasses
+        import jax.numpy as jnp
+        from self6dpp_tpu.data.loader import compute_vf_np
+        from self6dpp_tpu.ops.geometry import compute_vf
+
+        cfg = tiny_cfg()
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, geo_head=dataclasses.replace(
+                cfg.model.geo_head, with_vf=True, with_norm=True,
+                num_vf_points=4)))
+        recs = load_bop_split(bop_root)
+        ds = GDRNDataset(cfg, recs, models, get_meta("lm"), train=False)
+        s = ds.make_sample(0, 0)
+        f = cfg.model.geo_head.num_vf_points
+        assert s["gt_vf_vis"].shape == (16, 16, 2 * f)
+        assert s["gt_vf_full"].shape == (16, 16, 2 * f)
+        assert s["gt_norm"].shape == (16, 16, 3)
+        m = s["gt_mask_obj"] > 0
+        assert m.sum() > 4
+        norms = np.linalg.norm(s["gt_norm"][m], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        # in-mask vf entries are unit 2-vectors
+        v = s["gt_vf_full"][m].reshape(-1, f, 2)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-4)
+
+        # geometric check: at the crop pixel nearest a projected keypoint the
+        # field flips sign across it -> dot of direction with (kp - pixel) > 0
+        inst = recs[0].instances[0]
+        cls = 0
+        kp3 = models.fps_points[cls][:f]
+        cam = kp3 @ inst.R.T + inst.t
+        kp2 = cam[:, :2] / cam[:, 2:3] * np.array(
+            [recs[0].K[0, 0], recs[0].K[1, 1]]) + np.array(
+            [recs[0].K[0, 2], recs[0].K[1, 2]])
+        # rebuild the crop frame exactly as the sampler did (dzi=none at test)
+        bbox = inst.bbox_visib
+        cx, cy = (bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2
+        scale = max(bbox[2] - bbox[0], bbox[3] - bbox[1]) * cfg.data.dzi.pad_scale
+        ys, xs = np.nonzero(m)
+        for k in range(f):
+            px = cx - scale / 2 + scale * (xs + 0.5) / 16
+            py = cy - scale / 2 + scale * (ys + 0.5) / 16
+            d = np.stack([kp2[k, 0] - px, kp2[k, 1] - py], -1)
+            d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+            got = s["gt_vf_full"][ys, xs, 2 * k : 2 * k + 2]
+            np.testing.assert_allclose(got, d, atol=1e-4)
+
+        # numpy twin == jax version
+        vf_j = np.asarray(compute_vf(
+            jnp.asarray(kp3)[None], jnp.asarray(recs[0].K)[None],
+            jnp.asarray(inst.R)[None], jnp.asarray(inst.t)[None],
+            jnp.asarray([[cx, cy]], dtype=jnp.float32),
+            jnp.asarray([scale], dtype=jnp.float32), 16)[0])
+        vf_n = compute_vf_np(kp3, recs[0].K, inst.R, inst.t,
+                             np.array([cx, cy]), scale, 16,
+                             np.ones((16, 16), np.float32))
+        np.testing.assert_allclose(vf_j, vf_n, atol=1e-4)
+
     def test_batches(self, bop_root, models):
         cfg = tiny_cfg()
         recs = load_bop_split(bop_root)
@@ -114,6 +176,55 @@ class TestGDRNDataset:
         ds_t = GDRNDataset(cfg, recs, models, get_meta("lm"), train=False)
         batches = list(ds_t.batches(batch_size=4))
         assert sum(b["_valid"].sum() for b in batches) == len(ds_t)
+
+    def test_worker_batches_match_contract(self, bop_root, models):
+        """num_workers>0 path: thread-pooled host work + prefetch yields
+        batches with the same keys/shapes and valid labels."""
+        cfg = tiny_cfg()
+        recs = load_bop_split(bop_root)
+        ds = GDRNDataset(cfg, recs, models, get_meta("lm"), train=True)
+        it0 = ds.batches(batch_size=4, num_workers=0)
+        it2 = ds.batches(batch_size=4, num_workers=2, prefetch=1)
+        b0, b2 = next(it0), next(it2)
+        assert set(b0) == set(b2)
+        for k in b0:
+            assert b0[k].shape == b2[k].shape, k
+        assert b2["gt_mask_obj"].sum() > 0
+        assert np.isfinite(b2["gt_xyz"]).all()
+
+    def test_sampler_wiring(self, bop_root, models):
+        """cfg.data.sampler selects the index stream (repeat_factor runs)."""
+        import dataclasses
+        cfg = tiny_cfg()
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, sampler="repeat_factor"))
+        recs = load_bop_split(bop_root)
+        ds = GDRNDataset(cfg, recs, models, get_meta("lm"), train=True)
+        b = next(ds.batches(batch_size=4, num_workers=0))
+        assert b["roi_img"].shape[0] == 4
+
+    def test_depth_crops_and_aug(self, bop_root, models):
+        """with_depth emits roi_depth crops; depth aug perturbs them
+        (reference core/utils/depth_aug.py)."""
+        import dataclasses
+        from self6dpp_tpu.data.aug import add_noise_depth
+        cfg = tiny_cfg()
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, with_depth=True, depth_aug_prob=0.0))
+        recs = load_bop_split(bop_root)
+        ds = GDRNDataset(cfg, recs, models, get_meta("lm"), train=False)
+        s = ds.make_sample(0, 0)
+        assert s["roi_depth"].shape == (64, 64)
+        # in-mask depth around the gt z (synthetic scene renders real depth)
+        m = s["gt_mask_visib"] > 0
+        # depth crop is at input res, mask at output res — just sanity-check
+        d = s["roi_depth"][s["roi_depth"] > 0]
+        assert len(d) > 0 and 0.4 < np.median(d) < 1.2
+
+        rng = np.random.default_rng(0)
+        noisy = add_noise_depth(s["roi_depth"], rng, level=0.5)
+        assert noisy.shape == s["roi_depth"].shape
+        assert not np.allclose(noisy, s["roi_depth"])
 
     def test_xyz_consistent_with_pose(self, bop_root, models):
         """Backprojecting the rendered xyz through the gt pose must land on

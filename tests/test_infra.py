@@ -177,3 +177,18 @@ class TestFlatOptimizer:
         # flat: every moment buffer is 1-D; per-leaf keeps (4, 4)
         assert all(x.ndim <= 1 for x in flat_mu)
         assert any(x.shape == (4, 4) for x in leaf_mu)
+
+
+def test_hb_meta_real():
+    """HomebrewedDB metadata carries the real ref/hb.py:30-85 objects and
+    diameters (round-1 stub had 33 placeholder 0.2m diameters)."""
+    from self6dpp_tpu.data.ref import get_meta
+    m = get_meta("hb")
+    assert m.num_objects == 33
+    assert m.id2obj[1] == "01_bear"
+    assert m.id2obj[28] == "28_stegosaurus"
+    assert abs(m.diameter("01_bear") - 0.232572) < 1e-9
+    assert abs(m.diameter("28_stegosaurus") - 0.477464) < 1e-9
+    assert abs(m.camera_matrix[0, 0] - 537.4799) < 1e-3
+    # no placeholder diameters remain
+    assert len(set(m.diameters)) == 33

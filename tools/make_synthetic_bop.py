@@ -10,8 +10,11 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def generate(root: str, n_scenes: int = 1, n_images: int = 4,
@@ -102,7 +105,55 @@ def generate(root: str, n_scenes: int = 1, n_images: int = 4,
     return split
 
 
+def generate_full(root: str, n_scenes: int = 1, n_images: int = 6,
+                  seed: int = 0) -> dict:
+    """Full smoke layout consumed by the training CLIs with the 'synthetic'
+    ref meta (data/ref.py): <root>/lm/{train,test,models} + a GT-box
+    detection json (the det-file contract, core/utils/dataset_utils.py:120).
+    """
+    import shutil
+
+    from self6dpp_tpu.data.bop import load_bop_split, save_detections
+    from self6dpp_tpu.data.meshes import make_cube, make_icosphere, save_ply
+
+    base = os.path.join(root, "lm")
+    test = generate(base, n_scenes=n_scenes, n_images=n_images, seed=seed)
+    train = os.path.join(base, "train")
+    if not os.path.exists(train):
+        shutil.copytree(test, train)
+
+    mdir = os.path.join(base, "models")
+    os.makedirs(mdir, exist_ok=True)
+    for i, (mk, kw) in enumerate(
+            [(make_cube, {"size": 0.12}),
+             (make_icosphere, {"radius": 0.07, "subdivisions": 2})]):
+        v, f = mk(**kw)
+        save_ply(os.path.join(mdir, f"obj_{i + 1:06d}.ply"), v * 1000.0, f)
+
+    dets = {}
+    for r in load_bop_split(test):
+        dets[r.scene_im_id] = [{
+            "obj_id": inst.obj_id,
+            "bbox_est": [float(inst.bbox_visib[0]), float(inst.bbox_visib[1]),
+                         float(inst.bbox_visib[2] - inst.bbox_visib[0]),
+                         float(inst.bbox_visib[3] - inst.bbox_visib[1])],
+            "score": 1.0,
+        } for inst in r.instances]
+    det_path = os.path.join(base, "gt_dets.json")
+    save_detections(det_path, dets)
+    return {"root": root, "train": train, "test": test, "models": mdir,
+            "dets": det_path}
+
+
 if __name__ == "__main__":
-    import sys
-    out = sys.argv[1] if len(sys.argv) > 1 else "datasets/synthetic_bop"
-    print("wrote", generate(out))
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root", nargs="?", default="datasets/synthetic_bop")
+    ap.add_argument("--full", action="store_true",
+                    help="lm-layout train+test+models+gt-dets for CLI smoke")
+    ap.add_argument("--images", type=int, default=6)
+    a = ap.parse_args()
+    if a.full:
+        print("wrote", generate_full(a.root, n_images=a.images))
+    else:
+        print("wrote", generate(a.root, n_images=a.images))
