@@ -17,3 +17,13 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("S6TPU_PLATFORM"):
+    # Force the JAX platform (e.g. cpu for CLI smoke runs): env vars alone
+    # are too late once sitecustomize registered a TPU plugin at interpreter
+    # start, but config.update before the first backend use still works.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["S6TPU_PLATFORM"])

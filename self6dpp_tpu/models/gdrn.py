@@ -23,7 +23,7 @@ from ..config.base import PoseNetConfig
 from ..losses.mask_losses import get_mask_prob
 from ..ops import pose_decode
 from .backbones.resnet import ResNetBackbone
-from .heads.conv_pnp_net import ConvPnPNet
+from .heads.conv_pnp_net import ConvPnPNet, SimplePointPnPNet
 from .heads.top_down_head import TopDownGeoHead, gather_class_aware
 
 Array = jax.Array
@@ -44,7 +44,9 @@ class GDRN(nn.Module):
         self.geo_head = TopDownGeoHead(cfg=c.geo_head, num_classes=c.num_classes,
                                        dtype=self.dtype)
         rot_dim = 6 if c.pnp_net.rot_type.endswith("rot6d") else 4
-        self.pnp_net = ConvPnPNet(cfg=c.pnp_net, rot_dim=rot_dim, dtype=self.dtype)
+        pnp_cls = {"ConvPnPNet": ConvPnPNet,
+                   "SimplePointPnPNet": SimplePointPnPNet}[c.pnp_net.name]
+        self.pnp_net = pnp_cls(cfg=c.pnp_net, rot_dim=rot_dim, dtype=self.dtype)
 
     def __call__(
         self,

@@ -79,6 +79,14 @@ class ConvPnPNet(nn.Module):
         else:
             raise ValueError(f"unknown flat_op: {c.flat_op}")
 
+        if c.with_extent_feat and extents is not None:
+            # ConvPnPNetCls-style explicit extent feature (conv_pnp_net_cls.py:
+            # with_extent_feat) — a small MLP embedding of the object size
+            ext = act(nn.Dense(64, dtype=self.dtype, name="fc_extent",
+                               kernel_init=nn.initializers.normal(0.001))(
+                extents))
+            feat = jnp.concatenate([feat, ext], axis=-1)
+
         feat = act(nn.Dense(1024, dtype=self.dtype,
                             kernel_init=nn.initializers.normal(0.001))(feat))
         feat = act(nn.Dense(256, dtype=self.dtype,
@@ -88,3 +96,47 @@ class ConvPnPNet(nn.Module):
         t = nn.Dense(3, dtype=self.dtype,
                      kernel_init=nn.initializers.normal(0.01), name="fc_t")(feat)
         return rot, t
+
+
+class SimplePointPnPNet(nn.Module):
+    """Point-net style PnP head (point_pnp_net.py:208 SimplePointPnPNet,
+    after github.com/cvlab-epfl/single-stage-pose): per-pixel 1x1 convs
+    128-128-1024 over the (denormalized xyz ++ region ++ 2d-coord) feature
+    set, global max pool, fc512 -> fc256 -> pose. NHWC: 1x1 convs are Dense
+    layers over the channel axis — pure MXU matmuls."""
+
+    cfg: PnPNetConfig
+    rot_dim: int = 6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, coor_feat: Array, region: Array | None = None,
+                 extents: Array | None = None,
+                 mask_attention: Array | None = None,
+                 train: bool = False) -> tuple[Array, Array]:
+        c = self.cfg
+        if c.denormalize_by_extent and extents is not None and \
+                coor_feat.shape[-1] in (3, 5):
+            xyz = (coor_feat[..., :3] - 0.5) * extents[:, None, None, :]
+            coor_feat = jnp.concatenate([xyz, coor_feat[..., 3:]], axis=-1)
+        x = coor_feat
+        if region is not None:
+            x = jnp.concatenate([x, region], axis=-1)
+        if c.mask_attention == "mul":
+            x = x * mask_attention
+        elif c.mask_attention == "concat":
+            x = jnp.concatenate([x, mask_attention], axis=-1)
+
+        act = get_act("leakyrelu")
+        b = x.shape[0]
+        pts = x.reshape(b, -1, x.shape[-1])           # (B, P, C)
+        ini = nn.initializers.normal(0.001)
+        pts = act(nn.Dense(128, dtype=self.dtype, kernel_init=ini)(pts))
+        pts = act(nn.Dense(128, dtype=self.dtype, kernel_init=ini)(pts))
+        pts = act(nn.Dense(1024, dtype=self.dtype, kernel_init=ini)(pts))
+        feat = pts.max(axis=1)                        # global max pool
+        feat = act(nn.Dense(512, dtype=self.dtype, kernel_init=ini)(feat))
+        feat = act(nn.Dense(256, dtype=self.dtype, kernel_init=ini)(feat))
+        pose = nn.Dense(self.rot_dim + 3, dtype=self.dtype, name="fc_pose",
+                        kernel_init=nn.initializers.normal(0.01))(feat)
+        return pose[:, : self.rot_dim], pose[:, self.rot_dim :]

@@ -27,7 +27,11 @@ class TopDownGeoHead(nn.Module):
       mask:   num_masks (visib [+ full])
       xyz:    3 (regression) or 3*(xyz_bin+1) (binned classification)
       region: num_regions + 1
-      vf:     4 (visib 2 + full 2)   when with_vf
+      vf:     4*num_vf_points (vis uv*f ++ full uv*f)  when with_vf
+              (reference vf_out_dim = 2*2*16,
+              top_down_doublemask_doublevf_xyz_region_head.py:31; the raw
+              output is tanh-squashed to unit-range directions there via
+              _post_process_vf — here downstream losses normalize instead)
       norm:   3                      when with_norm
     """
 
@@ -63,7 +67,7 @@ class TopDownGeoHead(nn.Module):
             "region": region_dim * region_mult,
         }
         if c.with_vf:
-            chans["vf"] = 4 * xyz_mult
+            chans["vf"] = 4 * c.num_vf_points * xyz_mult
         if c.with_norm:
             chans["norm"] = 3 * xyz_mult
 

@@ -143,7 +143,8 @@ def test_double_mask_vf_variant():
         batch["roi_center"], batch["roi_wh"], batch["roi_extent"],
         batch["resize_ratio"], batch["roi_coord_2d"])
     assert out["mask_logits"].shape[-1] == 2
-    assert out["vf"].shape == (2, 16, 16, 4)
+    # {u,v} x {vis,full} x num_vf_points (reference vf_out_dim = 2*2*16)
+    assert out["vf"].shape == (2, 16, 16, 4 * m.geo_head.num_vf_points)
     assert out["norm"].shape == (2, 16, 16, 3)
 
 
@@ -205,3 +206,31 @@ def test_mtl_uncertainty_weighting():
     for k in base:
         expected = float(base[k]) * math.exp(-1) + math.log(1 + math.e)
         np.testing.assert_allclose(float(weighted[k]), expected, rtol=1e-4)
+
+
+def test_simple_point_pnp_variant():
+    """SimplePointPnPNet head (point_pnp_net.py:208) + ConvPnPNetCls-style
+    extent feature flag both produce valid poses."""
+    cfg = tiny_cfg()
+    for name, ext_feat in (("SimplePointPnPNet", False), ("ConvPnPNet", True)):
+        m = dataclasses.replace(
+            cfg.model,
+            pnp_net=dataclasses.replace(cfg.model.pnp_net, name=name,
+                                        with_extent_feat=ext_feat))
+        model = GDRN(cfg=m)
+        batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(
+            Config(model=m), 2, input_res=64, output_res=16,
+            n_points=64).items()}
+        variables = model.init(
+            jax.random.PRNGKey(0), batch["roi_img"], batch["roi_cls"],
+            batch["roi_cam"], batch["roi_center"], batch["roi_wh"],
+            batch["roi_extent"], batch["resize_ratio"], batch["roi_coord_2d"])
+        out = model.apply(
+            variables, batch["roi_img"], batch["roi_cls"], batch["roi_cam"],
+            batch["roi_center"], batch["roi_wh"], batch["roi_extent"],
+            batch["resize_ratio"], batch["roi_coord_2d"])
+        assert out["rot"].shape == (2, 3, 3)
+        assert out["trans"].shape == (2, 3)
+        eye = np.asarray(jnp.einsum("bij,bkj->bik", out["rot"], out["rot"]))
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (2, 3, 3)),
+                                   atol=1e-4)

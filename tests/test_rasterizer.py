@@ -243,3 +243,86 @@ class TestWrappers:
         rad = verts / np.linalg.norm(verts, axis=1, keepdims=True)
         cos = (n * rad).sum(1)
         assert cos.min() > 0.9
+
+
+class TestShadedModes:
+    """Lambertian / Phong / SH deferred shading (DIB-R fragment shader
+    parity: frag_phongtex.py, frag_shtex.py; dispatch base.py:53-104)."""
+
+    def _sphere(self):
+        verts, faces = make_icosphere(radius=0.1, subdivisions=2)
+        colors = np.ones_like(verts) * 0.8
+        normals = np.asarray(Rz.compute_vertex_normals(
+            jnp.asarray(verts), jnp.asarray(faces)))
+        pose = (jnp.asarray(K)[None],
+                jnp.broadcast_to(jnp.eye(3), (1, 3, 3)).astype(jnp.float32),
+                jnp.asarray([[0.0, 0.0, 1.0]]))
+        return verts, faces, colors, normals, pose
+
+    def test_lambertian_brightest_toward_light(self):
+        verts, faces, colors, normals, (Kb, R, t) = self._sphere()
+        out = Rz.render_shaded(
+            jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(normals),
+            Kb, R, t, height=H, width=W, mode="lambertian",
+            colors=jnp.asarray(colors), light_dir=(0.0, 0.0, -1.0),
+            ambient=0.2, diffuse=0.8, tile_px=16, faces_per_tile=64)
+        c = np.asarray(out["color"][0]).sum(-1)
+        m = np.asarray(out["mask"][0])
+        # center of the sphere faces the camera/light -> brightest;
+        # silhouette pixels are at the ambient floor
+        ys, xs = np.nonzero(m)
+        cy, cx = int(ys.mean()), int(xs.mean())
+        assert c[cy, cx] > 0.9 * 3 * 0.8 * 0.9
+        edge = c[m > 0].min()
+        assert edge < c[cy, cx] * 0.45
+        # bounded by (ambient+diffuse)*albedo
+        assert c.max() <= 3 * (0.2 + 0.8) * 0.8 + 1e-4
+
+    def test_phong_specular_highlight(self):
+        verts, faces, colors, normals, (Kb, R, t) = self._sphere()
+        kw = dict(height=H, width=W, colors=jnp.asarray(colors),
+                  light_dir=(0.0, 0.0, -1.0), tile_px=16, faces_per_tile=64)
+        lam = Rz.render_shaded(
+            jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(normals),
+            Kb, R, t, mode="lambertian", **kw)
+        pho = Rz.render_shaded(
+            jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(normals),
+            Kb, R, t, mode="phong", shininess=60.0, **kw)
+        m = np.asarray(pho["mask"][0])
+        ys, xs = np.nonzero(m)
+        cy, cx = int(ys.mean()), int(xs.mean())
+        # specular adds brightness at the mirror-reflection center
+        assert float(pho["color"][0, cy, cx].sum()) > \
+            float(lam["color"][0, cy, cx].sum()) + 0.1
+
+    def test_sh_constant_band_is_flat(self):
+        """Only the constant SH band lit -> shading independent of normals:
+        color = 0.2820948 * L0 * albedo everywhere in-mask."""
+        verts, faces, colors, normals, (Kb, R, t) = self._sphere()
+        sh = np.zeros((1, 9), np.float32)
+        sh[0, 0] = 2.0
+        out = Rz.render_shaded(
+            jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(normals),
+            Kb, R, t, height=H, width=W, mode="sh", colors=jnp.asarray(colors),
+            sh_coeffs=jnp.asarray(sh), tile_px=16, faces_per_tile=64)
+        c = np.asarray(out["color"][0])
+        m = np.asarray(out["mask"][0]) > 0
+        expected = 0.2820948 * 2.0 * 0.8
+        # interior pixels (exclude soft silhouette interpolation)
+        interior = np.zeros_like(m)
+        interior[16:-16, 16:-16] = m[16:-16, 16:-16]
+        vals = c[interior]
+        np.testing.assert_allclose(vals, expected, atol=0.02)
+
+    def test_shaded_texture_grad(self):
+        verts, faces, colors, normals, (Kb, R, t) = self._sphere()
+
+        def loss(t_):
+            out = Rz.render_shaded(
+                jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(normals),
+                Kb, R, t_, height=H, width=W, mode="phong",
+                colors=jnp.asarray(colors), tile_px=16, faces_per_tile=64)
+            return (out["color"] ** 2).sum()
+
+        g = jax.grad(loss)(t)
+        assert np.isfinite(np.asarray(g)).all()

@@ -323,7 +323,7 @@ def test_pnp_net_torch_parity(tmp_path):
     tm = TPnPNet(nin).eval()
     out, used = {}, set()
     _map_block(torch_state_to_numpy(tm.state_dict()), pnp_key_map(),
-               "", out, used)
+               "", out, used, flat_channels=32)
     npz = tmp_path / "pnp.npz"
     np.savez(npz, **out)
 
