@@ -1,0 +1,40 @@
+#!/bin/sh
+# End-to-end CLI smoke on generated synthetic BOP data — the regression net
+# for the tools/*.py surfaces (chained: gdrn train+eval -> pseudo poses ->
+# stage-II with TRAIN2/geo/refiner/repj paths on).
+#
+# Runs on CPU by default (S6TPU_PLATFORM=cpu forces the platform before the
+# first backend use); set S6TPU_PLATFORM= to use the default accelerator.
+set -e
+export S6TPU_PLATFORM="${S6TPU_PLATFORM-cpu}"
+ROOT="${SMOKE_ROOT:-/tmp/bopdata}"
+OUT="${SMOKE_OUT:-/tmp/smoke_out}"
+rm -rf "$ROOT" "$OUT"
+
+echo "== generate synthetic BOP data =="
+python tools/make_synthetic_bop.py "$ROOT" --full --images 6
+
+echo "== stage-I GDRN train =="
+python tools/train_gdrn.py --config configs/gdrn/synthetic_smoke.py \
+    --opts solver.total_iters=12 ckpt_period=12
+
+echo "== stage-I GDRN eval (BOP csv + ADD tables) =="
+python tools/train_gdrn.py --config configs/gdrn/synthetic_smoke.py \
+    --eval-only --det-file "$ROOT/lm/gt_dets.json"
+
+echo "== pseudo-pose generation =="
+python tools/gen_pseudo_poses.py --config configs/gdrn/synthetic_smoke.py \
+    --gdrn-ckpt "$OUT/gdrn_synthetic_smoke/ckpt" \
+    --det-file "$ROOT/lm/gt_dets.json" --out "$OUT/pseudo.json"
+
+echo "== stage-II self-supervised train (TRAIN2 + geo + refiner + repj) =="
+python tools/train_self6dpp.py --config configs/self6dpp/synthetic_smoke.py \
+    --weights "$OUT/gdrn_synthetic_smoke/ckpt" \
+    --det-file "$OUT/pseudo.json" \
+    --opts solver.total_iters=8 ckpt_period=8
+
+echo "== deepim smoke train =="
+python tools/train_deepim.py --config configs/deepim/synthetic_smoke.py \
+    --opts solver.total_iters=4 ckpt_period=4
+
+echo "SMOKE OK"

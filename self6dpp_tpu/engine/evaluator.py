@@ -151,10 +151,18 @@ def table_to_markdown(tables: dict[str, dict[str, float]],
 
 def run_inference(eval_step: Callable, state, batches: Iterable[dict],
                   evaluator: PoseEvaluator, to_device=None) -> PoseEvaluator:
-    """gdrn_inference_on_dataset parity: loop, time per batch, feed evaluator."""
+    """gdrn_inference_on_dataset parity: loop, time per batch, feed evaluator.
+
+    The first batch warms the jit cache before its timed run so the BOP csv
+    'time' field never contains compile time (gdrn_evaluator.py:167-219
+    measures steady-state per-image inference)."""
+    warmed = False
     for batch in batches:
         db = {k: jnp.asarray(v) for k, v in batch.items()
               if k not in ("_valid",)} if to_device is None else to_device(batch)
+        if not warmed:
+            jax.block_until_ready(eval_step(state, db))
+            warmed = True
         t0 = time.perf_counter()
         out = eval_step(state, db)
         out = jax.tree.map(np.asarray, out)
