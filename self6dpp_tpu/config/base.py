@@ -245,6 +245,12 @@ class DataConfig:
     bg_dir: str = ""
     num_workers: int = 4            # thread-pool size for per-sample host work
     prefetch: int = 2               # assembled batches buffered ahead
+    # per-instance GT-render cache (the reference's offline xyz_crop pkl
+    # path): render each instance once in a jitter-covering frame, warp per
+    # crop. res 0 = auto (2*output_res); entries bound host RAM (fp16).
+    label_cache: bool = True
+    label_cache_res: int = 0
+    label_cache_entries: int = 20000
     # training index sampler (my_distributed_sampler parity):
     # training | repeat_factor | inf_subset
     sampler: str = "training"

@@ -153,6 +153,12 @@ class GDRNDataset:
         # per-sample child rngs for thread-pooled workers (the shared
         # Generator is not thread-safe); spawned serially by make_samples
         self._seed_seq = np.random.SeedSequence(seed + 0x5EED)
+        # per-instance GT-render cache (the reference's offline xyz_crop pkl
+        # path, data_loader.py:498-521: render once per instance, warp per
+        # crop): (ri, ii) -> (attr fp16 (S,S,C), mask bool, center_c, side_c)
+        from collections import OrderedDict
+        self._label_cache: "OrderedDict[tuple[int, int], tuple]" = \
+            OrderedDict()
 
     def __len__(self):
         return len(self.index)
@@ -324,6 +330,7 @@ class GDRNDataset:
             "score": np.float32(inst.score),
             # render-job fields consumed by _finish_samples
             "_scale": np.float32(scale),
+            "_bbox": np.asarray(bbox, np.float32),
         }
         if roi_depth is not None:
             sample["roi_depth"] = roi_depth.astype(np.float32)
@@ -375,9 +382,81 @@ class GDRNDataset:
                                         R, t)
             return np.asarray(out.attr), np.asarray(out.mask)
 
-    def _finish_samples(self, samples: list[dict]) -> list[dict]:
+    def _cache_frame(self, bbox: np.ndarray) -> tuple[np.ndarray, float]:
+        """(center, side) of the per-instance cached render frame: a square
+        that covers every DZI-jittered crop of this bbox."""
+        dzi = self.cfg.data.dzi
+        cx, cy = 0.5 * (bbox[0] + bbox[2]), 0.5 * (bbox[1] + bbox[3])
+        b = max(bbox[2] - bbox[0], bbox[3] - bbox[1], 1.0)
+        cover = dzi.pad_scale * (1.0 + dzi.scale_ratio) + 2 * dzi.shift_ratio
+        return np.array([cx, cy], np.float32), float(b * cover)
+
+    def _labels_from_cache(self, keys, samples, s_out: int,
+                           with_normals: bool):
+        """Per-instance render cache + per-sample warp into the crop frame.
+
+        GT pose/K are fixed per instance, so the render is deterministic:
+        misses are rendered once (batched) in the instance's cache frame at
+        label_cache_res, then every crop is a cheap cv2 warp — the TPU-native
+        twin of the reference's offline xyz_crop pkl + warp_affine path
+        (data_loader.py:498-521, tools lm_egl_1_gen_xyz.py)."""
+        import cv2
+        cfg = self.cfg
+        S = cfg.data.label_cache_res or 2 * s_out
+        cache = self._label_cache
+
+        miss = [i for i, k in enumerate(keys) if k not in cache]
+        if miss:
+            # pad the miss set to the full batch size: one jitted shape
+            pad = miss + [miss[0]] * (len(samples) - len(miss))
+            cls = np.asarray([samples[i]["roi_cls"] for i in pad])
+            K = np.stack([samples[i]["roi_cam"] for i in pad])
+            R = np.stack([samples[i]["gt_rot"] for i in pad])
+            t = np.stack([samples[i]["gt_trans"] for i in pad])
+            frames = [self._cache_frame(samples[i]["_bbox"]) for i in pad]
+            c_c = np.stack([f[0] for f in frames])
+            s_c = np.asarray([f[1] for f in frames], np.float32)
+            attr, m = self._batched_render(cls, K, R, t, c_c, s_c, S,
+                                           with_normals)
+            for j, i in enumerate(miss):
+                cache[keys[i]] = (attr[j].astype(np.float16),
+                                  m[j] > 0, c_c[j], float(s_c[j]))
+            while len(cache) > cfg.data.label_cache_entries:
+                cache.popitem(last=False)
+
+        attr_out = np.zeros((len(samples), s_out, s_out,
+                             6 if with_normals else 3), np.float32)
+        mask_out = np.zeros((len(samples), s_out, s_out), np.float32)
+        for i, (k, s) in enumerate(zip(keys, samples)):
+            a16, m8, c_c, side_c = cache[k]
+            cache.move_to_end(k)
+            center, scale = s["roi_center"], float(s["_scale"])
+            # dst->src affine between the two square-crop frames
+            # (crop pixel u <-> image x: u = x*s + tx, aug.py:51-58)
+            sc, st = S / side_c, s_out / scale
+            a = sc / st
+            tx = s_out / 2.0 - center[0] * st
+            ty = s_out / 2.0 - center[1] * st
+            txc = S / 2.0 - c_c[0] * sc
+            tyc = S / 2.0 - c_c[1] * sc
+            M = np.array([[a, 0, txc - tx * a], [0, a, tyc - ty * a]],
+                         np.float64)
+            flags = cv2.INTER_NEAREST | cv2.WARP_INVERSE_MAP
+            attr_out[i] = cv2.warpAffine(
+                a16.astype(np.float32), M, (s_out, s_out), flags=flags)
+            mask_out[i] = cv2.warpAffine(
+                m8.astype(np.float32), M, (s_out, s_out), flags=flags)
+        return attr_out, mask_out
+
+    def _finish_samples(self, samples: list[dict],
+                        keys: list[tuple[int, int]] | None = None
+                        ) -> list[dict]:
         """Fill the render-dependent labels (xyz/region/obj-mask/vf/norm)
-        from one batched GT render."""
+        from the per-instance render cache (or one batched GT render)."""
+        try:
+            import cv2
+        except ImportError:
+            cv2 = None
         cfg = self.cfg
         gh = cfg.model.geo_head
         s_out = cfg.model.output_res
@@ -386,10 +465,16 @@ class GDRNDataset:
         R = np.stack([s["gt_rot"] for s in samples])
         t = np.stack([s["gt_trans"] for s in samples])
         center = np.stack([s["roi_center"] for s in samples])
-        scale = np.asarray([s.pop("_scale") for s in samples])
+        scale = np.asarray([s["_scale"] for s in samples])
 
-        attr, m_obj_b = self._batched_render(cls, K, R, t, center, scale,
-                                             s_out, gh.with_norm)
+        if cfg.data.label_cache and keys is not None and cv2 is not None:
+            attr, m_obj_b = self._labels_from_cache(keys, samples, s_out,
+                                                    gh.with_norm)
+        else:
+            attr, m_obj_b = self._batched_render(cls, K, R, t, center, scale,
+                                                 s_out, gh.with_norm)
+        for s in samples:
+            s.pop("_scale"), s.pop("_bbox")
         for i, s in enumerate(samples):
             ci = int(cls[i])
             xyz_obj = attr[i, ..., :3]
@@ -435,7 +520,7 @@ class GDRNDataset:
                 zip(keys, rngs)))
         else:
             partials = [self._sample_host(ri, ii) for ri, ii in keys]
-        return self._finish_samples(partials)
+        return self._finish_samples(partials, keys=keys)
 
     def make_sample(self, ri: int, ii: int) -> dict[str, np.ndarray]:
         return self.make_samples([(ri, ii)])[0]
@@ -486,24 +571,35 @@ class GDRNDataset:
         if num_workers and num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=num_workers)
+            try:
+                # cv2's internal pool fights the worker threads (the
+                # reference disables it for its dataloader, main_gdrn.py:21)
+                import cv2
+                cv2.setNumThreads(0)
+            except ImportError:
+                pass
 
         def gen():
-            if infinite:
-                stream = self._index_sampler(n)
-                while True:
-                    keys = [self.index[next(stream)]
-                            for _ in range(batch_size)]
-                    yield self._collate(self.make_samples(keys, pool=pool))
-            else:
-                for i in range(0, n, batch_size):
-                    keys = [self.index[j]
-                            for j in range(i, min(i + batch_size, n))]
-                    samples = self.make_samples(keys, pool=pool)
-                    pad = batch_size - len(samples)
-                    batch = self._collate(samples + [samples[-1]] * pad)
-                    batch["_valid"] = np.array(
-                        [1] * len(samples) + [0] * pad, np.int32)
-                    yield batch
+            try:
+                if infinite:
+                    stream = self._index_sampler(n)
+                    while True:
+                        keys = [self.index[next(stream)]
+                                for _ in range(batch_size)]
+                        yield self._collate(self.make_samples(keys, pool=pool))
+                else:
+                    for i in range(0, n, batch_size):
+                        keys = [self.index[j]
+                                for j in range(i, min(i + batch_size, n))]
+                        samples = self.make_samples(keys, pool=pool)
+                        pad = batch_size - len(samples)
+                        batch = self._collate(samples + [samples[-1]] * pad)
+                        batch["_valid"] = np.array(
+                            [1] * len(samples) + [0] * pad, np.int32)
+                        yield batch
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         if pool is None or prefetch <= 0:
             return gen()
@@ -515,23 +611,46 @@ class GDRNDataset:
 
 
 def _prefetch_iterator(it: Iterator, depth: int) -> Iterator:
-    """Background-thread prefetch of up to `depth` ready batches."""
+    """Background-thread prefetch of up to `depth` ready batches.
+
+    The producer stops when the consumer generator is closed/GC'd (otherwise
+    an abandoned iterator keeps a worker thread building batches forever)."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     _END = object()
 
     def work():
         try:
             for item in it:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         finally:
-            q.put(_END)
+            stop.set()
+            try:
+                q.put_nowait(_END)
+            except queue.Full:
+                pass
 
     threading.Thread(target=work, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        yield item
+    try:
+        while True:
+            try:
+                item = q.get(timeout=0.2)
+            except queue.Empty:
+                if stop.is_set():
+                    return
+                continue
+            if item is _END:
+                return
+            yield item
+    finally:
+        stop.set()

@@ -86,8 +86,12 @@ def xyz_to_region(xyz: np.ndarray, fps_pts: np.ndarray,
     """Assign each (valid) pixel's object-frame xyz to its nearest FPS center,
     1-based (0 = background). Reference: core/utils/data_utils.py:269."""
     h, w = xyz.shape[:2]
-    flat = xyz.reshape(-1, 3)
-    d = ((flat[:, None, :] - fps_pts[None, :, :]) ** 2).sum(-1)
+    flat = xyz.reshape(-1, 3).astype(np.float32)
+    fps_pts = np.asarray(fps_pts, np.float32)
+    # argmin_k |x-c_k|^2 = argmin_k (|c_k|^2 - 2 x.c_k): one (P,3)@(3,K)
+    # matmul instead of materializing the (P,K,3) difference tensor
+    d = flat @ (-2.0 * fps_pts.T)
+    d += (fps_pts * fps_pts).sum(-1)[None, :]
     region = d.argmin(axis=1).astype(np.int32).reshape(h, w) + 1
     if mask is not None:
         region = region * (mask > 0)

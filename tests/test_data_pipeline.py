@@ -192,6 +192,33 @@ class TestGDRNDataset:
         assert b2["gt_mask_obj"].sum() > 0
         assert np.isfinite(b2["gt_xyz"]).all()
 
+    def test_label_cache_matches_direct_render(self, bop_root, models):
+        """The per-instance render cache + warp path must agree with the
+        direct per-crop render (same instance, same DZI crop): the cache
+        renders at 2x res in a jitter-covering frame, so nearest-warp
+        disagreement is confined to silhouette-edge pixels."""
+        import dataclasses
+        cfg = tiny_cfg()
+        cfg_d = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, label_cache=False, color_aug_prob=0.0))
+        cfg_c = dataclasses.replace(cfg, data=dataclasses.replace(
+            cfg.data, label_cache=True, color_aug_prob=0.0))
+        recs = load_bop_split(bop_root)
+        meta = get_meta("lm")
+        sd = GDRNDataset(cfg_d, recs, models, meta, train=True, seed=3)
+        sc = GDRNDataset(cfg_c, recs, models, meta, train=True, seed=3)
+        a = sd.make_sample(0, 0)
+        b = sc.make_sample(0, 0)
+        np.testing.assert_allclose(a["roi_center"], b["roi_center"])  # same DZI
+        both = (a["gt_mask_obj"] > 0) & (b["gt_mask_obj"] > 0)
+        assert both.sum() > 20
+        # mask agreement away from the edge
+        agree = (a["gt_mask_obj"] == b["gt_mask_obj"]).mean()
+        assert agree > 0.9, agree
+        # xyz agreement inside the common mask
+        d = np.abs(a["gt_xyz"] - b["gt_xyz"])[both]
+        assert np.median(d) < 0.05, np.median(d)
+
     def test_sampler_wiring(self, bop_root, models):
         """cfg.data.sampler selects the index stream (repeat_factor runs)."""
         import dataclasses
