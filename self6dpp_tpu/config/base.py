@@ -330,6 +330,12 @@ class SelfSupConfig:
     ema_decay: float = 0.999
     teacher_update_freq: int = 1    # epochs between EMA teacher refreshes
     geo_mode_ratio: float = 0.0     # fraction of iters in 'geo' output mode
+    # POSE_VARIATED_AUG for the geo branch (new_cfg/base.py:34-50): shared
+    # in-graph affine warp of the student ROI and the teacher pseudo maps
+    geo_aug_rot_deg: float = 180.0  # ROT.MAX_DEGREE // 2
+    geo_aug_zoom: tuple[float, float] = (0.75, 1.25)
+    geo_aug_trans: tuple[float, float] = (-0.1, 0.1)
+    geo_aug_crop: float = 0.1       # CropAndPad percent
     # pseudo pose source when no refined pose is loaded: the teacher's own
     # prediction (reference batch_data_self_pose fallback,
     # self_engine_utils.py:1073-1140) — never ground truth

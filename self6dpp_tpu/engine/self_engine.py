@@ -262,18 +262,27 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
 def make_self_geo_train_step(cfg: Config, model: GDRN,
                              ema_update_every: int = 1):
     """Geo-mode step (self_engine_utils.py:52-127 'geo' branch): the student
-    sees a perturbed copy of the ROI (device-side color jitter standing in
-    for POSE_VARIATED_AUG, configs/self6dpp/new_cfg/base.py:34-50) and its
-    dense geometry is trained toward the teacher's pseudo labels."""
+    sees a pose-variated copy of the ROI — a shared per-image affine warp
+    (POSE_VARIATED_AUG, configs/self6dpp/new_cfg/base.py:34-50 + color
+    jitter) — and its dense geometry is trained toward the teacher's pseudo
+    labels warped with the SAME affine (the reference applies one
+    deterministic imgaug augmenter to both, data_loader_self.py:493-520,
+    self_engine_utils.py:343-380; here both warps fuse into the step)."""
     ss = cfg.self_sup
     decay_fn = gated_ema_decay(ss.ema_decay, cfg.solver.ema_warmup_iters,
                                ema_update_every)
 
     def train_step(state: TrainState, batch: dict[str, Array], rng: Array):
         def loss_fn(params):
-            r1, r2, r3 = jax.random.split(rng, 3)
+            from ..ops.warp import affine_warp, sample_pose_variated_affines
+            r1, r2, r3, r4 = jax.random.split(rng, 4)
             img = batch["roi_img"]
-            aug = img * jax.random.uniform(r1, (img.shape[0], 1, 1, 1),
+            mats = sample_pose_variated_affines(
+                r4, img.shape[0], rot_deg=ss.geo_aug_rot_deg,
+                zoom=ss.geo_aug_zoom, trans=ss.geo_aug_trans,
+                crop_percent=ss.geo_aug_crop)
+            aug = affine_warp(img, mats)
+            aug = aug * jax.random.uniform(r1, (img.shape[0], 1, 1, 1),
                                            minval=0.8, maxval=1.2)
             aug = aug + jax.random.uniform(r2, (img.shape[0], 1, 1, 3),
                                            minval=-0.05, maxval=0.05)
@@ -296,14 +305,18 @@ def make_self_geo_train_step(cfg: Config, model: GDRN,
             from ..losses.self_loss import compute_self_loss_geo
             t_prob = get_mask_prob(tout["mask_logits"],
                                    cfg.model.loss.mask_loss_type)[..., 0]
+            # teacher pseudo maps, warped like the student's input (the same
+            # normalized matrices apply at output res)
+            warp = lambda x, m="bilinear": affine_warp(
+                x if x.ndim == 4 else x[..., None], mats, mode=m)
             pseudo = {
-                "vis_mask_lr": (t_prob > 0.5).astype(jnp.float32),
-                "coor": tout["coor"],
-                "region": jax.nn.softmax(tout["region_logits"], axis=-1),
+                "vis_mask_lr": (warp(t_prob)[..., 0] > 0.5).astype(jnp.float32),
+                "coor": warp(tout["coor"]),
+                "region": warp(jax.nn.softmax(tout["region_logits"], axis=-1)),
             }
             for k in ("vf", "norm"):
                 if k in tout:
-                    pseudo[k] = tout[k]
+                    pseudo[k] = warp(tout[k])
             ld = compute_self_loss_geo(
                 ss, out, pseudo,
                 mask_prob_fn=lambda lg: get_mask_prob(

@@ -222,3 +222,67 @@ class TestColor:
         assert color.rgb_to_gray(img).shape == (2, 4, 4, 1)
         hsv = np.asarray(color.rgb_to_hsv(img))
         assert hsv.min() >= 0 and hsv.max() <= 1.0 + 1e-6
+
+
+class TestAffineWarp:
+    """ops.warp — in-graph POSE_VARIATED_AUG (lib/utils/aug_utils.py:36-67)."""
+
+    def test_identity(self, rng):
+        from self6dpp_tpu.ops import warp
+        img = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)), jnp.float32)
+        eye = jnp.broadcast_to(jnp.asarray([[1.0, 0, 0], [0, 1, 0]]), (2, 2, 3))
+        out = np.asarray(warp.affine_warp(img, eye))
+        np.testing.assert_allclose(out, np.asarray(img), atol=1e-5)
+
+    def test_translation_shifts_pixels(self, rng):
+        from self6dpp_tpu.ops import warp
+        img = np.zeros((1, 8, 8, 1), np.float32)
+        img[0, 4, 4, 0] = 1.0
+        # dst->src: src_x = dst_x - 2px  => content moves +2 px in x
+        m = jnp.asarray([[[1.0, 0, -2 * 2.0 / 8], [0, 1, 0]]])
+        out = np.asarray(warp.affine_warp(jnp.asarray(img), m))
+        assert out[0, 4, 6, 0] == pytest.approx(1.0, abs=1e-5)
+        assert out[0, 4, 4, 0] == pytest.approx(0.0, abs=1e-5)
+
+    def test_invert_roundtrip(self, rng):
+        from self6dpp_tpu.ops import warp
+        rot = jnp.asarray(rng.uniform(-3, 3, (4,)), jnp.float32)
+        sc = jnp.asarray(rng.uniform(0.7, 1.3, (4, 2)), jnp.float32)
+        tr = jnp.asarray(rng.uniform(-0.2, 0.2, (4, 2)), jnp.float32)
+        m = warp.make_affine(rot, sc, tr)
+        mi = warp.invert_affine(m)
+        # compose: A @ [Ainv | ti] should be identity
+        comp_lin = np.einsum("bij,bjk->bik", np.asarray(m[:, :, :2]),
+                             np.asarray(mi[:, :, :2]))
+        np.testing.assert_allclose(
+            comp_lin, np.broadcast_to(np.eye(2), (4, 2, 2)), atol=1e-5)
+        t_comp = np.einsum("bij,bj->bi", np.asarray(m[:, :, :2]),
+                           np.asarray(mi[:, :, 2])) + np.asarray(m[:, :, 2])
+        np.testing.assert_allclose(t_comp, np.zeros((4, 2)), atol=1e-5)
+
+    def test_rotation_90deg(self):
+        from self6dpp_tpu.ops import warp
+        img = np.zeros((1, 8, 8, 1), np.float32)
+        img[0, 1, 4, 0] = 1.0                  # above center (y small)
+        fwd = warp.make_affine(jnp.asarray([np.pi / 2]),
+                               jnp.ones((1, 2)), jnp.zeros((1, 2)))
+        out = np.asarray(warp.affine_warp(
+            img, warp.invert_affine(fwd), mode="nearest"))
+        # +90° (x,y)->(-y,x): the pixel above center moves right of center
+        assert out[0, 4, 6, 0] == pytest.approx(1.0)
+        assert out[0, 1, 4, 0] == 0.0
+
+    def test_oob_zero_and_mask_warp(self, rng):
+        from self6dpp_tpu.ops import warp
+        img = jnp.ones((1, 8, 8, 1), jnp.float32)
+        big = warp.make_affine(jnp.zeros(1), jnp.full((1, 2), 2.0),
+                               jnp.zeros((1, 2)))  # dst->src zoom-out x2
+        out = np.asarray(warp.affine_warp(img, big))
+        assert out[0, 0, 0, 0] == 0.0              # corners sample OOB
+        assert out[0, 4, 4, 0] == pytest.approx(1.0)
+
+    def test_sampler_shapes(self):
+        from self6dpp_tpu.ops import warp
+        m = warp.sample_pose_variated_affines(jax.random.PRNGKey(0), 6)
+        assert m.shape == (6, 2, 3)
+        assert np.isfinite(np.asarray(m)).all()
