@@ -25,7 +25,7 @@ from typing import Any
 
 @dataclass(frozen=True)
 class BackboneConfig:
-    name: str = "resnest50d"        # resnet{18,34,50,101}[d] | resnest50d | flownets | cspdarknet
+    name: str = "resnest50d"        # resnet{18,34,50,101}[d] | resnest{26,50}d | darknet53 | flownets | cspdarknet
     freeze: bool = False
     pretrained: str = ""            # path to a checkpoint to warm-start from
     input_channels: int = 3

@@ -143,6 +143,7 @@ _STAGE_SPECS = {
     "resnet50": ("bottleneck", (3, 4, 6, 3)),
     "resnet50d": ("bottleneck", (3, 4, 6, 3)),
     "resnet101": ("bottleneck", (3, 4, 23, 3)),
+    "resnest26d": ("splat", (2, 2, 2, 2)),
     "resnest50d": ("splat", (3, 4, 6, 3)),
 }
 

@@ -35,12 +35,18 @@ class GDRN(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = ResNetBackbone(
-            arch=c.backbone.name,
-            in_channels=c.backbone.input_channels,
-            out_indices=tuple(c.backbone.out_indices),
-            dtype=self.dtype,
-        )
+        if c.backbone.name == "darknet53":
+            from .backbones.darknet import DarknetBackbone
+            self.backbone = DarknetBackbone(
+                out_indices=tuple(i + 1 for i in c.backbone.out_indices),
+                dtype=self.dtype)
+        else:
+            self.backbone = ResNetBackbone(
+                arch=c.backbone.name,
+                in_channels=c.backbone.input_channels,
+                out_indices=tuple(c.backbone.out_indices),
+                dtype=self.dtype,
+            )
         self.geo_head = TopDownGeoHead(cfg=c.geo_head, num_classes=c.num_classes,
                                        dtype=self.dtype)
         rot_dim = 6 if c.pnp_net.rot_type.endswith("rot6d") else 4

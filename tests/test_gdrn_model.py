@@ -181,6 +181,45 @@ def test_resnest_backbone_smoke():
     assert y.shape == (1, 2, 2, 2048)
 
 
+def test_resnest26d_backbone_smoke():
+    """timm/resnest26d — the only other resnest arch reference configs use."""
+    from self6dpp_tpu.models.backbones.resnet import ResNetBackbone
+    model = ResNetBackbone(arch="resnest26d")
+    x = jnp.zeros((1, 64, 64, 3))
+    y = model.apply(model.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 2, 2, 2048)
+
+
+def test_darknet53_backbone_in_gdrn():
+    """darknet53 registry breadth (mm_nets/darknet.py): stride-32 output,
+    drop-in for the GDRN backbone slot."""
+    import dataclasses
+    from self6dpp_tpu.models.backbones.darknet import DarknetBackbone
+    model = DarknetBackbone()
+    x = jnp.zeros((1, 64, 64, 3))
+    y = model.apply(model.init(jax.random.PRNGKey(0), x), x,
+                    mutable=["batch_stats"])[0]
+    assert y.shape == (1, 2, 2, 1024)
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, backbone=dataclasses.replace(cfg.model.backbone,
+                                                name="darknet53")))
+    gdrn = GDRN(cfg=cfg.model)
+    batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(
+        cfg, 2, input_res=64, output_res=16).items()}
+    variables = gdrn.init(jax.random.PRNGKey(0), batch["roi_img"],
+                          batch["roi_cls"], batch["roi_cam"],
+                          batch["roi_center"], batch["roi_wh"],
+                          batch["roi_extent"], batch["resize_ratio"],
+                          batch["roi_coord_2d"])
+    out = gdrn.apply(variables, batch["roi_img"], batch["roi_cls"],
+                     batch["roi_cam"], batch["roi_center"], batch["roi_wh"],
+                     batch["roi_extent"], batch["resize_ratio"],
+                     batch["roi_coord_2d"])
+    assert out["rot"].shape == (2, 3, 3)
+
+
 def test_mtl_uncertainty_weighting():
     """USE_MTL path: log-var params reweight losses (GDRN.py:493-497)."""
     import jax.numpy as jnp
