@@ -64,7 +64,7 @@ class GeoHeadConfig:
 
 @dataclass(frozen=True)
 class PnPNetConfig:
-    name: str = "ConvPnPNet"        # ConvPnPNet | SimplePointPnPNet
+    name: str = "ConvPnPNet"        # ConvPnPNet | ConvPnPNetMaskNormVF | SimplePointPnPNet
     with_extent_feat: bool = False  # ConvPnPNetCls-style extent embedding
     freeze: bool = False
     featdim: int = 128

@@ -51,6 +51,8 @@ class GDRN(nn.Module):
                                        dtype=self.dtype)
         rot_dim = 6 if c.pnp_net.rot_type.endswith("rot6d") else 4
         pnp_cls = {"ConvPnPNet": ConvPnPNet,
+                   # same conv trunk; vf/norm maps join its input channels
+                   "ConvPnPNetMaskNormVF": ConvPnPNet,
                    "SimplePointPnPNet": SimplePointPnPNet}[c.pnp_net.name]
         self.pnp_net = pnp_cls(cfg=c.pnp_net, rot_dim=rot_dim, dtype=self.dtype)
 
@@ -110,9 +112,17 @@ class GDRN(nn.Module):
         if pn.mask_attention != "none":
             mask_atten = get_mask_prob(maps["mask"], c.loss.mask_loss_type)
 
+        extra_feat = None
+        if pn.name == "ConvPnPNetMaskNormVF":
+            # the MaskNormVF head feeds the predicted vf+norm maps into the
+            # PnP input (conv_pnp_net_mask_vf_norm.py:115-150; used by the
+            # new_cfg GDRN_MaskNormVF configs)
+            parts = [maps[k] for k in ("vf", "norm") if k in maps]
+            assert parts, "ConvPnPNetMaskNormVF needs with_vf/with_norm heads"
+            extra_feat = jnp.concatenate(parts, axis=-1)
         pred_rot_rep, pred_t = self.pnp_net(
             coor_feat, region=region_atten, extents=roi_extent,
-            mask_attention=mask_atten, train=train,
+            mask_attention=mask_atten, extra_feat=extra_feat, train=train,
         )
         rot_m = pose_decode.rot_rep_to_mat(pred_rot_rep, pn.rot_type)
         is_allo = "allo" in pn.rot_type

@@ -31,6 +31,7 @@ class ConvPnPNet(nn.Module):
         region: Array | None = None,      # (B, H, W, R) softmaxed region
         extents: Array | None = None,     # (B, 3)
         mask_attention: Array | None = None,
+        extra_feat: Array | None = None,  # (B, H, W, E) vf/norm channels
         train: bool = False,
     ) -> tuple[Array, Array]:
         c = self.cfg
@@ -45,6 +46,10 @@ class ConvPnPNet(nn.Module):
             x = x * mask_attention
         elif c.mask_attention == "concat":
             x = jnp.concatenate([x, mask_attention], axis=-1)
+        if extra_feat is not None:
+            # ConvPnPNetMaskNormVF: predicted vf+norm maps join the input
+            # after the mask attention (conv_pnp_net_mask_vf_norm.py:145-150)
+            x = jnp.concatenate([x, extra_feat], axis=-1)
 
         if c.drop_prob > 0:
             x = DropBlock(drop_prob=c.drop_prob)(x, train=train)
@@ -113,6 +118,7 @@ class SimplePointPnPNet(nn.Module):
     def __call__(self, coor_feat: Array, region: Array | None = None,
                  extents: Array | None = None,
                  mask_attention: Array | None = None,
+                 extra_feat: Array | None = None,
                  train: bool = False) -> tuple[Array, Array]:
         c = self.cfg
         if c.denormalize_by_extent and extents is not None and \
@@ -122,6 +128,8 @@ class SimplePointPnPNet(nn.Module):
         x = coor_feat
         if region is not None:
             x = jnp.concatenate([x, region], axis=-1)
+        if extra_feat is not None:
+            x = jnp.concatenate([x, extra_feat], axis=-1)
         if c.mask_attention == "mul":
             x = x * mask_attention
         elif c.mask_attention == "concat":

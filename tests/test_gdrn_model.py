@@ -181,6 +181,30 @@ def test_resnest_backbone_smoke():
     assert y.shape == (1, 2, 2, 2048)
 
 
+def test_mask_norm_vf_pnp_head():
+    """ConvPnPNetMaskNormVF (conv_pnp_net_mask_vf_norm.py, the new_cfg
+    GDRN_MaskNormVF family): predicted vf+norm maps feed the PnP input."""
+    import dataclasses
+    cfg = tiny_cfg()
+    m = dataclasses.replace(
+        cfg.model,
+        geo_head=dataclasses.replace(cfg.model.geo_head, with_vf=True,
+                                     with_norm=True, num_vf_points=4),
+        pnp_net=dataclasses.replace(cfg.model.pnp_net,
+                                    name="ConvPnPNetMaskNormVF"))
+    model = GDRN(cfg=m)
+    batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(
+        Config(model=m), 2, input_res=64, output_res=16).items()}
+    args = (batch["roi_img"], batch["roi_cls"], batch["roi_cam"],
+            batch["roi_center"], batch["roi_wh"], batch["roi_extent"],
+            batch["resize_ratio"], batch["roi_coord_2d"])
+    variables = model.init(jax.random.PRNGKey(0), *args, train=False)
+    out = model.apply(variables, *args, train=False)
+    assert out["rot"].shape == (2, 3, 3)
+    assert out["vf"].shape == (2, 16, 16, 16)      # 4*num_vf_points
+    assert out["norm"].shape == (2, 16, 16, 3)
+
+
 def test_resnest26d_backbone_smoke():
     """timm/resnest26d — the only other resnest arch reference configs use."""
     from self6dpp_tpu.models.backbones.resnet import ResNetBackbone
