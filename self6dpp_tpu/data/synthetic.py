@@ -64,4 +64,17 @@ def make_gdrn_batch(cfg: Config, batch_size: int = 4, seed: int = 0,
         "sym_rots": sym_rots,
         "sym_valid": sym_valid,
     }
+    gh = cfg.model.geo_head
+    if gh.with_vf:
+        f = gh.num_vf_points
+        for k in ("gt_vf_vis", "gt_vf_full"):
+            v = rng.normal(0, 1, (b, o, o, 2 * f)).astype(np.float32)
+            v /= np.maximum(np.linalg.norm(
+                v.reshape(b, o, o, f, 2), axis=-1, keepdims=True),
+                1e-8).reshape(b, o, o, f, 1).repeat(2, -1).reshape(b, o, o, -1)
+            batch[k] = v
+    if gh.with_norm:
+        n = rng.normal(0, 1, (b, o, o, 3)).astype(np.float32)
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+        batch["gt_norm"] = n * batch["gt_mask_visib"][..., None]
     return batch
