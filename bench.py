@@ -31,8 +31,13 @@ def _flagship_cfg():
     return f()
 
 
-def bench_render_and_compare(batch_size: int = 8, iters: int = 20) -> dict:
-    """Full Stage-II self-supervised step on one chip."""
+def bench_render_and_compare(batch_size: int = 8, iters: int = 20,
+                             dense: bool = False) -> dict:
+    """Full Stage-II self-supervised step on one chip.
+
+    dense=True swaps in a 5120-face mesh with the denser-mesh kernel budget
+    (tile 16px / K=256) — the decimated-real-LM-scale configuration from
+    BENCH_NOTES; default is the 1280-face mesh with the 32px/K=128 budget."""
     import dataclasses
     from self6dpp_tpu.config.base import SelfSupConfig
     from self6dpp_tpu.data.meshes import make_icosphere
@@ -49,15 +54,17 @@ def bench_render_and_compare(batch_size: int = 8, iters: int = 20) -> dict:
             enabled=True, mask_lw=1.0, ms_ssim_lw=1.0, lab_lw=0.1,
             depth_chamfer_lw=1.0, perceptual_lw=0.15, pseudo_pm_lw=10.0,
             pseudo_trans_lw=1.0),
-        # 32px tiles: 2.3x faster kernel; safe for the <2k-face bench meshes
-        # (K=128 candidates per 32px tile; denser meshes should use 16)
-        renderer=RendererConfig(tile_px=32, faces_per_tile=128))
+        # 32px tiles: 2.3x faster kernel; safe for the 1280-face bench mesh
+        # (K=128 candidates per 32px tile); the dense 5120-face variant needs
+        # the 16px/K=256 budget to keep candidate overflow negligible
+        renderer=(RendererConfig(tile_px=16, faces_per_tile=256) if dense
+                  else RendererConfig(tile_px=32, faces_per_tile=128)))
 
     model = ge.build_gdrn(cfg)
     batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(cfg, batch_size).items()}
-    # meshes: one dense icosphere per class (5120 faces — LM-scale after
-    # decimation)
-    verts, faces = make_icosphere(radius=0.06, subdivisions=3)
+    # one icosphere per class: subdiv 3 = 1280 faces, subdiv 4 = 5120 faces
+    # (a decimated real LM mesh sits between the two)
+    verts, faces = make_icosphere(radius=0.06, subdivisions=4 if dense else 3)
     colors = (verts - verts.min(0)) / np.ptp(verts, 0)
     C = cfg.model.num_classes
     batch["mesh_verts"] = jnp.asarray(verts)[None].repeat(C, 0)
@@ -111,9 +118,12 @@ def bench_gdrn_train(batch_size: int = 24, iters: int = 20) -> float:
 
 
 def main():
-    rnc = bench_render_and_compare()
+    import sys
+    dense = "--dense" in sys.argv
+    rnc = bench_render_and_compare(dense=dense)
     result = {
-        "metric": "render_and_compare_iters_per_sec_per_chip",
+        "metric": "render_and_compare_iters_per_sec_per_chip"
+                  + ("_dense5120f" if dense else ""),
         "value": round(rnc, 3),
         "unit": "iters/sec (bs=8 stage-II self-sup step)",
         "vs_baseline": round(rnc / _REFERENCE_RNC_ITERS_PER_SEC, 2),
