@@ -191,7 +191,7 @@ class DeepIMConfig:
 
 @dataclass(frozen=True)
 class SolverConfig:
-    optimizer: str = "ranger"       # ranger | adam | adamw | sgd | madgrad | adabelief
+    optimizer: str = "ranger"       # ranger | (r)adam(w|p|belief) | sgd(_gc) | sgdp | madgrad
     base_lr: float = 1e-4
     weight_decay: float = 0.0
     momentum: float = 0.9

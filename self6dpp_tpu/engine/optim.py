@@ -110,6 +110,52 @@ def _madgrad(lr_sched, momentum: float = 0.9,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _adamp_projection(delta: float = 0.1, wd_ratio: float = 0.1,
+                      eps: float = 1e-8) -> optax.GradientTransformation:
+    """AdamP/SGDP update projection (lib/torch_utils/solver/adamp.py:48-62,
+    sgdp.py — NAVER AdamP): for scale-invariant weights (gradient nearly
+    orthogonal to the weight under a channel- or layer-flattened view), the
+    radial component of the update is removed, suppressing effective-LR
+    growth from weight-norm inflation. Runs after the core optimizer on the
+    final per-leaf deltas; branchless (both projections computed, selected
+    with where) so the whole thing stays one fused elementwise pass."""
+
+    def project(p, u):
+        if p.ndim == 0:
+            return u
+
+        def view(x, channel):
+            return x.reshape(x.shape[0], -1) if channel else x.reshape(1, -1)
+
+        def cos_max(channel):
+            g2 = view(u, channel)
+            p2 = view(p, channel)
+            num = jnp.abs((g2 * p2).sum(-1))
+            den = jnp.linalg.norm(g2, axis=-1) * jnp.linalg.norm(p2, axis=-1)
+            return (num / jnp.maximum(den, eps)).max(), p2.shape[1]
+
+        def projected(channel):
+            p2 = view(p, channel)
+            n = p2 / (jnp.linalg.norm(p2, axis=-1, keepdims=True) + eps)
+            u2 = view(u, channel)
+            out = u2 - n * (n * u2).sum(-1, keepdims=True)
+            return out.reshape(u.shape)
+
+        c_cos, c_cols = cos_max(True)
+        l_cos, l_cols = cos_max(False)
+        use_c = c_cos < delta / jnp.sqrt(float(c_cols))
+        use_l = l_cos < delta / jnp.sqrt(float(l_cols))
+        return jnp.where(use_c, projected(True),
+                         jnp.where(use_l, projected(False), u))
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "adamp projection needs params"
+        return jax.tree.map(project, params, updates), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(),
+                                        update_fn)
+
+
 def build_optimizer(cfg: SolverConfig,
                     flatten: bool = True) -> tuple[optax.GradientTransformation, Callable]:
     """Returns (tx, lr_schedule). Gradient accumulation to reference_bs is
@@ -143,6 +189,11 @@ def build_optimizer(cfg: SolverConfig,
         core = optax.chain(_gradient_centralization(), optax.sgd(sched, momentum=cfg.momentum))
     elif name == "madgrad":
         core = _madgrad(sched, momentum=cfg.momentum)
+    elif name == "adamp":
+        core = optax.chain(optax.adam(sched), _adamp_projection())
+    elif name == "sgdp":
+        core = optax.chain(optax.sgd(sched, momentum=cfg.momentum,
+                                     nesterov=True), _adamp_projection())
     else:
         raise ValueError(f"unknown optimizer: {cfg.optimizer}")
 
@@ -153,11 +204,11 @@ def build_optimizer(cfg: SolverConfig,
         chain.append(optax.add_decayed_weights(cfg.weight_decay))
     chain.append(core)
     tx = optax.chain(*chain)
-    if flatten and name != "sgd_gc":
+    if flatten and name not in ("sgd_gc", "adamp", "sgdp"):
         # run the whole elementwise update on ONE flat vector: a ~300-leaf
         # tree costs ~5-15 ms/step in per-fusion launch overhead on TPU
-        # (measured: ranger 22.9 -> 5.0 ms flat); GC needs per-filter shapes
-        # so sgd_gc stays per-leaf
+        # (measured: ranger 22.9 -> 5.0 ms flat); GC and the AdamP/SGDP
+        # projection need per-filter shapes so those stay per-leaf
         tx = optax.flatten(tx)
 
     accum = max(cfg.reference_bs // max(cfg.ims_per_batch, 1), 1)

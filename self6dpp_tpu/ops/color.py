@@ -73,3 +73,34 @@ def lab_loss(pred_rgb: Array, gt_rgb: Array, mask: Array | None = None,
         diff = diff * mask[..., None]
         return diff.sum() / (jnp.maximum(mask.sum(), 1.0) * diff.shape[-1])
     return diff.mean()
+
+
+_YUV = jnp.asarray([
+    [0.299, 0.587, 0.114],
+    [-0.147, -0.289, 0.436],
+    [0.615, -0.515, -0.100],
+])
+
+
+def rgb_to_yuv(rgb: Array) -> Array:
+    """(..., 3) RGB in [0,1] -> YUV (kornia-convention weights; reference
+    lib/torch_utils/color/yuv.py:5-34)."""
+    return jnp.einsum("ij,...j->...i", _YUV, rgb)
+
+
+def rgb_to_luv(rgb: Array, eps: float = 1e-12) -> Array:
+    """(..., 3) sRGB in [0,1] -> CIE-LUV (reference lib/torch_utils/color/
+    luv.py: linearize, XYZ, then L* and u'v'-based u*, v*)."""
+    xyz = rgb_to_xyz(rgb_to_linear(rgb))
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    threshold = 0.008856
+    L = jnp.where(y > threshold, 116.0 * jnp.cbrt(jnp.maximum(y, eps)) - 16.0,
+                  903.3 * y)
+    d = x + 15.0 * y + 3.0 * z
+    u_p = 4.0 * x / jnp.maximum(d, eps)
+    v_p = 9.0 * y / jnp.maximum(d, eps)
+    xr, yr, zr = _XYZ_REF
+    dr = xr + 15.0 * yr + 3.0 * zr
+    u = 13.0 * L * (u_p - 4.0 * xr / dr)
+    v = 13.0 * L * (v_p - 9.0 * yr / dr)
+    return jnp.stack([L, u, v], axis=-1)

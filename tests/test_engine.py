@@ -47,7 +47,7 @@ def test_schedule_shape():
     assert float(s(100)) == pytest.approx(0.0, abs=1e-6)
 
 
-@pytest.mark.parametrize("opt", ["ranger", "adam", "adamw", "sgd", "sgd_gc", "adabelief"])
+@pytest.mark.parametrize("opt", ["ranger", "adam", "adamw", "sgd", "sgd_gc", "adabelief", "adamp", "sgdp"])
 def test_optimizers_step(opt):
     cfg = SolverConfig(optimizer=opt, base_lr=1e-2, total_iters=10,
                        warmup_iters=0, grad_clip_norm=1.0)

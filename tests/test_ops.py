@@ -286,3 +286,27 @@ class TestAffineWarp:
         m = warp.sample_pose_variated_affines(jax.random.PRNGKey(0), 6)
         assert m.shape == (6, 2, 3)
         assert np.isfinite(np.asarray(m)).all()
+
+
+class TestLuvYuv:
+    def test_yuv_known_values(self):
+        from self6dpp_tpu.ops import color
+        white = jnp.ones((1, 1, 3))
+        yuv = np.asarray(color.rgb_to_yuv(white))[0, 0]
+        assert yuv[0] == pytest.approx(1.0, abs=1e-3)
+        assert abs(yuv[1]) < 1e-3 and abs(yuv[2]) < 1e-3
+
+    def test_luv_white_point(self):
+        from self6dpp_tpu.ops import color
+        white = jnp.ones((1, 1, 3))
+        luv = np.asarray(color.rgb_to_luv(white))[0, 0]
+        assert luv[0] == pytest.approx(100.0, abs=0.5)
+        assert abs(luv[1]) < 1.0 and abs(luv[2]) < 1.0
+
+    def test_luv_matches_skimage(self, rng):
+        pytest.importorskip("skimage")
+        from skimage.color import rgb2luv
+        from self6dpp_tpu.ops import color
+        img = rng.uniform(0.05, 1, (6, 6, 3)).astype(np.float32)
+        ours = np.asarray(color.rgb_to_luv(jnp.asarray(img)))
+        np.testing.assert_allclose(ours, rgb2luv(img), atol=0.7)
