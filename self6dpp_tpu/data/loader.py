@@ -62,6 +62,10 @@ class ObjectModels:
     diameters: np.ndarray        # (C,)
     sym_rots: np.ndarray         # (C, S, 3, 3)
     sym_valid: np.ndarray        # (C, S)
+    # textured models (BOP ycbv): per-vertex UVs pre-scaled to the shared
+    # padded atlas size, plus the texture images. None when untextured.
+    uvs: np.ndarray | None = None        # (C, V, 2)
+    textures: np.ndarray | None = None   # (C, Ht, Wt, 3) float [0,1]
 
     @classmethod
     def from_meshes(cls, names, meshes: list[dict], n_regions: int = 64,
@@ -116,15 +120,46 @@ class ObjectModels:
                 # default: 180° z-flip symmetry (eggbox/glue style)
                 srots[i, 1] = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
                 svalid[i, 1] = True
+
+        uvs = textures = None
+        if any("uv" in m and "texture" in m for m in meshes):
+            # pad texture atlases to a common size; pre-scale UVs so
+            # bilinear sampling with the SHARED padded (Ht,Wt) lands on the
+            # same texels as each class's native-size atlas would
+            ht = max(m["texture"].shape[0] for m in meshes if "texture" in m)
+            wt = max(m["texture"].shape[1] for m in meshes if "texture" in m)
+            uvs = np.zeros((C, max_v, 2), np.float32)
+            textures = np.zeros((C, ht, wt, 3), np.float32)
+            for i, m in enumerate(meshes):
+                if "uv" not in m or "texture" not in m:
+                    continue
+                tex = m["texture"]
+                textures[i, : tex.shape[0], : tex.shape[1]] = tex
+                u = m["uv"][:, 0] * (tex.shape[1] - 1) / max(wt - 1, 1)
+                # BOP texture_v is bottom-up; image rows are top-down
+                v = (1.0 - m["uv"][:, 1]) * (tex.shape[0] - 1) / max(ht - 1, 1)
+                uvs[i, : len(u)] = np.stack([u, v], axis=1)
         return cls(list(names), verts, faces, colors, normals, fps_pts,
-                   pm_pts, extents, diam, srots, svalid)
+                   pm_pts, extents, diam, srots, svalid, uvs, textures)
 
     @classmethod
     def from_ply_files(cls, names, paths, scale: float = 1e-3, **kw):
+        import os
         meshes = []
         for p in paths:
             m = load_ply(p)
             m["verts"] = m["verts"] * scale
+            tf = m.pop("texture_file", None)
+            if tf is not None:
+                tp = os.path.join(os.path.dirname(p), tf)
+                if os.path.exists(tp):
+                    try:
+                        import cv2
+                        img = cv2.imread(tp, cv2.IMREAD_COLOR)
+                        m["texture"] = (img[..., ::-1] / 255.0).astype(
+                            np.float32)
+                    except ImportError:
+                        pass
             meshes.append(m)
         return cls.from_meshes(list(names), meshes, **kw)
 

@@ -95,6 +95,7 @@ def load_ply(path: str) -> dict:
     with open(path, "rb") as f:
         assert f.readline().strip() == b"ply"
         fmt = None
+        out_texture = None
         elems: list[tuple[str, int, list[tuple[str, str]]]] = []
         cur_props: list[tuple[str, str]] = []
         while True:
@@ -111,6 +112,10 @@ def load_ply(path: str) -> dict:
                     cur_props.append(("list", parts[-1].decode()))
                 else:
                     cur_props.append((parts[1].decode(), parts[2].decode()))
+            elif line.startswith(b"comment") and b"TextureFile" in line:
+                # BOP textured models (e.g. ycbv) declare their texture png
+                # as `comment TextureFile obj_xxxxxx.png`
+                out_texture = line.split()[-1].decode()
             elif line.startswith(b"end_header"):
                 break
 
@@ -153,6 +158,8 @@ def load_ply(path: str) -> dict:
                         if n > 3:
                             f.read((n - 3) * int(idx_t[1]))
                 out["faces"] = faces
+        if out_texture is not None:
+            out["texture_file"] = out_texture
         return out
 
 

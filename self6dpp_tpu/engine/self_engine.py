@@ -59,15 +59,31 @@ def render_student_pose(cfg: Config, batch: dict[str, Array], rot: Array,
     cls = batch["roi_cls"]
     verts = batch["mesh_verts"][cls]
     faces = batch["mesh_faces"][cls]
-    colors = batch["mesh_colors"][cls]
     impl = cfg.renderer.impl
     if impl == "auto":
         impl = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+    textured = "mesh_uv" in batch and "mesh_texture" in batch
+    if textured:
+        # textured models (ycbv stage-II; reference render_scene_tex,
+        # renderer_dibr.py:196-292): rasterize per-vertex UVs, sample the
+        # class atlas per pixel — both differentiable
+        attrs = batch["mesh_uv"][cls]
+    else:
+        attrs = batch["mesh_colors"][cls]
     out = rasterize_batch(
-        verts, faces, colors, Kz, rot, trans, height=s, width=s,
+        verts, faces, attrs, Kz, rot, trans, height=s, width=s,
         tile_px=cfg.renderer.tile_px,
         faces_per_tile=cfg.renderer.faces_per_tile,
         sigma_px=soft_sigma, impl=impl)
+    if textured:
+        from ..ops.zoom import _bilinear_sample
+        tex = batch["mesh_texture"][cls]
+        ht, wt = tex.shape[1], tex.shape[2]
+        color = jax.vmap(lambda t, u, v: _bilinear_sample(
+            t, u * (wt - 1), v * (ht - 1)))(
+            tex, out.attr[..., 0], out.attr[..., 1])
+        return {"color": color * out.mask[..., None], "prob": out.prob,
+                "mask": out.mask, "depth": out.depth}
     return {"color": out.attr, "prob": out.prob, "mask": out.mask,
             "depth": out.depth}
 

@@ -271,3 +271,78 @@ def test_ema_update_gating():
     diff = max(jax.tree.leaves(jax.tree.map(
         lambda a, b: float(jnp.abs(a - b).max()), ema0, state.ema_params)))
     assert diff > 0.0
+
+
+def test_textured_stage2_render_and_step(tmp_path):
+    """YCB-V-style textured stage-II: mesh_uv + mesh_texture in the batch
+    switch render_student_pose to per-pixel texture sampling (reference
+    render_scene_tex, renderer_dibr.py:196-292), and the full pose step
+    trains through it."""
+    cfg = tiny_cfg()
+    model = ge.build_gdrn(cfg)
+    batch = make_batch(cfg)
+    C, V = batch["mesh_verts"].shape[:2]
+    rng = np.random.default_rng(11)
+    # uv: project verts to a simple planar atlas
+    v = np.asarray(batch["mesh_verts"])
+    uv = (v[..., :2] - v[..., :2].min()) / np.ptp(v[..., :2]) * 0.98
+    batch["mesh_uv"] = jnp.asarray(uv.astype(np.float32))
+    batch["mesh_texture"] = jnp.asarray(
+        rng.uniform(0.2, 1.0, (C, 32, 32, 3)).astype(np.float32))
+
+    ren = se.render_student_pose(cfg, batch, batch["gt_rot"],
+                                 batch["gt_trans"])
+    assert np.isfinite(np.asarray(ren["color"])).all()
+    assert float(ren["mask"].sum()) > 0
+    # textured color really comes from the atlas: a different texture
+    # changes the render inside the mask
+    batch2 = dict(batch, mesh_texture=batch["mesh_texture"] * 0.3)
+    ren2 = se.render_student_pose(cfg, batch2, batch["gt_rot"],
+                                  batch["gt_trans"])
+    m = np.asarray(ren["mask"]) > 0
+    assert np.abs(np.asarray(ren["color"]) -
+                  np.asarray(ren2["color"]))[m].max() > 0.05
+
+    state = ge.init_state(cfg, model, batch)
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(1), batch["roi_img"],
+                    batch["roi_img"])["params"]
+    step = jax.jit(se.make_self_train_step(cfg, model, lpips))
+    _, metrics = step(state, lp, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"])), metrics
+
+
+def test_object_models_texture_tables(tmp_path):
+    """from_ply_files picks up `comment TextureFile` atlases and pre-scales
+    UVs into the shared padded atlas frame."""
+    from self6dpp_tpu.data.loader import ObjectModels
+    from self6dpp_tpu.data.meshes import load_ply, make_cube, save_ply
+    import cv2
+
+    v, f = make_cube(size=0.1)
+    p = str(tmp_path / "obj_000001.ply")
+    save_ply(p, v * 1000.0, f)
+    # append uv properties by rewriting a textured ascii ply by hand
+    uv = ((v[:, :2] - v[:, :2].min()) / np.ptp(v[:, :2])).astype(np.float32)
+    with open(p, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n"
+                 "comment TextureFile obj_000001.png\n"
+                 f"element vertex {len(v)}\n"
+                 "property float x\nproperty float y\nproperty float z\n"
+                 "property float texture_u\nproperty float texture_v\n"
+                 f"element face {len(f)}\n"
+                 "property list uchar int vertex_indices\nend_header\n")
+        for vv, t in zip(v * 1000.0, uv):
+            fh.write(f"{vv[0]} {vv[1]} {vv[2]} {t[0]} {t[1]}\n")
+        for ff in f:
+            fh.write(f"3 {ff[0]} {ff[1]} {ff[2]}\n")
+    cv2.imwrite(str(tmp_path / "obj_000001.png"),
+                np.full((16, 24, 3), 128, np.uint8))
+
+    m = load_ply(p)
+    assert m["texture_file"] == "obj_000001.png"
+    models = ObjectModels.from_ply_files(["ape"], [p])
+    assert models.uvs is not None and models.textures is not None
+    assert models.textures.shape == (1, 16, 24, 3)
+    assert np.isfinite(models.uvs).all()
+    assert models.uvs.max() <= 1.0 + 1e-6

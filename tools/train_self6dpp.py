@@ -60,6 +60,11 @@ def main():
         db["mesh_colors"] = jnp.asarray(models.colors)
         db["mesh_normals"] = jnp.asarray(models.normals)
         db["mesh_fps"] = jnp.asarray(models.fps_points)
+        if models.uvs is not None:
+            # textured models (ycbv): stage-II renders via per-pixel UV
+            # texture sampling instead of vertex colors
+            db["mesh_uv"] = jnp.asarray(models.uvs)
+            db["mesh_texture"] = jnp.asarray(models.textures)
         db["roi_zoom_K"] = se.roi_zoom_K(db, cfg.model.input_res, cfg.model.output_res)
         if mesh is not None:
             db = shard_batch(db, mesh, cfg.dist)
