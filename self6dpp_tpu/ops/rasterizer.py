@@ -64,10 +64,16 @@ def _face_gather(x: Array, faces: Array) -> Array:
 
 
 def _bin_faces(v2d_f: Array, valid_f: Array, height: int, width: int,
-               tile_px: int, faces_per_tile: int) -> Array:
+               tile_px: int, faces_per_tile: int,
+               zmean_f: Array | None = None) -> Array:
     """Assign faces to tiles. Returns (T, K) int32 face ids (-1 = empty).
 
     v2d_f: (F, 3, 2) screen-space face vertices; valid_f: (F,) bool.
+    zmean_f: (F,) mean face depth. When given, a tile whose overlap set
+    exceeds the K budget keeps the K *nearest* faces (kaolin keeps a
+    closest-knum candidate buffer the same way) — dropped faces are the
+    farthest, i.e. occluded for an opaque mesh — instead of an arbitrary
+    first-K by face order.
     """
     F = v2d_f.shape[0]
     th = -(-height // tile_px)
@@ -86,9 +92,13 @@ def _bin_faces(v2d_f: Array, valid_f: Array, height: int, width: int,
     overlap = ov_y & ov_x & valid_f[None, None, :]                 # (th, tw, F)
     overlap = overlap.reshape(th * tw, F)
 
-    # select first-K overlapping faces per tile (stable order preserves the
-    # mesh's face order for deterministic ties)
-    key = jnp.where(overlap, -jnp.arange(F, dtype=jnp.float32), -jnp.inf)
+    # selection priority: nearest-first when depths are given (graceful
+    # overflow), else first-K in mesh order; ties resolved by top_k's
+    # stable index order either way
+    if zmean_f is not None:
+        key = jnp.where(overlap, -zmean_f[None, :], -jnp.inf)
+    else:
+        key = jnp.where(overlap, -jnp.arange(F, dtype=jnp.float32), -jnp.inf)
     k = min(faces_per_tile, F)
     neg_idx, idx = jax.lax.top_k(key, k)                           # (T, k)
     cand = jnp.where(jnp.isfinite(neg_idx), idx, -1).astype(jnp.int32)
@@ -287,7 +297,8 @@ def rasterize_single(
         # the camera (-z) winds clockwise on screen -> negative signed area
         valid_f = valid_f & (area2 < 0)
 
-    cand = _bin_faces(v2d_f, valid_f, height, width, tile_px, faces_per_tile)
+    cand = _bin_faces(v2d_f, valid_f, height, width, tile_px, faces_per_tile,
+                      zmean_f=zmean_f)
 
     if impl == "pallas":
         mask, prob, depth, attr, face_id, bary = _rasterize_fine_pallas(
@@ -370,7 +381,7 @@ def _rasterize_batch_pallas(
         if cull_backfaces:
             valid_f = valid_f & (area2 < 0)
         cand = _bin_faces(v2d_f, valid_f, height, width, tile_px,
-                          faces_per_tile)
+                          faces_per_tile, zmean_f=zmean_f)
         cgeo, czin, catt = _pack_candidates(cand, v2d_f, zmean_f, zinv_f,
                                             attr_f, valid_f)
         return cand, cgeo, czin, catt
