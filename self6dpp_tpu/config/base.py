@@ -298,8 +298,11 @@ class RendererConfig:
     sigma: float = 1.0 / 7000.0
     gamma: float = 1.0 / 7000.0
     max_faces: int = 8192           # static per-object face budget
-    tile_px: int = 16               # 32 + faces_per_tile=256 is fastest for
-                                    # <=5k-face meshes (BENCH_NOTES.md)
+    # tile/K budget guidance (measured sweep in BENCH_NOTES.md): exactness
+    # needs K >= max overlapping faces per tile. ~1-2k-face meshes: 32px/128
+    # (fastest, exact). ~5k faces: 16px/256 is exact; 32px/256 is ~1.9x
+    # faster but can shed silhouette-rim pixels (overflow keeps nearest-K).
+    tile_px: int = 16
     faces_per_tile: int = 128       # K candidates per tile (lane multiple)
     impl: str = "auto"              # auto | xla | pallas (fused TPU kernel)
 

@@ -326,3 +326,23 @@ class TestEvaluator:
         te = float(te_error(jnp.asarray(t)[None], jnp.asarray(s["gt_trans"])[None])[0])
         assert re < 10.0, re
         assert te < 0.05, te
+
+
+def test_merge_bop_results(tmp_path):
+    """tools/merge_bop_results: per-object SISO csvs -> one method csv,
+    higher-score row wins duplicates."""
+    from tools.merge_bop_results import merge
+    rows1 = [{"scene_id": 1, "im_id": 5, "obj_id": 1, "score": 0.9,
+              "R": np.eye(3), "t": np.array([0.0, 0, 1]), "time": 0.1}]
+    rows2 = [{"scene_id": 1, "im_id": 5, "obj_id": 2, "score": 0.8,
+              "R": np.eye(3), "t": np.array([0.0, 0, 2]), "time": 0.1},
+             {"scene_id": 1, "im_id": 5, "obj_id": 1, "score": 0.5,
+              "R": np.eye(3), "t": np.array([0.0, 0, 9]), "time": 0.1}]
+    p1, p2 = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    save_bop_csv(p1, rows1)
+    save_bop_csv(p2, rows2)
+    merged = merge([p1, p2])
+    assert len(merged) == 2
+    dup = [r for r in merged if r["obj_id"] == 1][0]
+    assert dup["score"] == pytest.approx(0.9)
+    assert dup["t"][2] == pytest.approx(1.0)
