@@ -385,6 +385,8 @@ class Config:
     ckpt_period: int = 5000
     ckpt_max_to_keep: int = 2
     log_period: int = 100
+    tensorboard: bool = False       # add a TB scalar writer to the trainer
+    vis_period: int = 0             # iters between TB image grids (0 = off)
 
 
 # ---------------------------------------------------------------------------

@@ -27,8 +27,12 @@ def do_train(
     batches: Iterator[dict],
     to_device: Callable[[dict], dict],
     eval_fn: Callable[[TrainState], dict] | None = None,
+    vis_fn: Callable[[TrainState, dict, "EventStorage"], None] | None = None,
     resume: bool = True,
 ) -> TrainState:
+    """vis_fn(state, device_batch, storage): called every cfg.vis_period
+    iters to emit TB image grids (reference self_engine.py:713-746 writes
+    gt/ren/pseudo grids through the event storage)."""
     ckpt = CheckpointManager(
         f"{cfg.output_dir}/{cfg.exp_name}/ckpt",
         max_to_keep=cfg.ckpt_max_to_keep, save_period=cfg.ckpt_period)
@@ -43,6 +47,13 @@ def do_train(
                    f"{cfg.output_dir}/{cfg.exp_name}/metrics.json",
                    cfg.log_period),
     ]
+    tb = None
+    if cfg.tensorboard or (cfg.vis_period > 0 and vis_fn is not None):
+        from .writers import TensorboardWriter
+        tb = TensorboardWriter(storage, f"{cfg.output_dir}/{cfg.exp_name}/tb",
+                               cfg.log_period)
+        writers.append(tb)
+        storage.tb = tb            # vis_fn reaches the image writer here
     rng = jax.random.PRNGKey(cfg.seed)
 
     for it in range(start_iter, cfg.solver.total_iters):
@@ -61,6 +72,9 @@ def do_train(
             **{k: float(v) for k, v in metrics.items()})
         for w in writers:
             w.write()
+        if vis_fn is not None and cfg.vis_period > 0 \
+                and (it + 1) % cfg.vis_period == 0:
+            vis_fn(state, batch, storage)
         ckpt.save(state, step=it + 1)
         if (eval_fn is not None and cfg.test.eval_period > 0
                 and (it + 1) % cfg.test.eval_period == 0):

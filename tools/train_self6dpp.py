@@ -177,8 +177,46 @@ def main():
             return geo_step(state, batch, rng)
         return pose_step(state, lp, batch, rng)
 
+    # TB image grids of [real ROI | student render | teacher vis-mask]
+    # (reference writes gt/ren/pseudo grids, self_engine.py:713-746)
+    vis_fn = None
+    if cfg.vis_period > 0:
+        from self6dpp_tpu.losses.mask_losses import get_mask_prob
+
+        @jax.jit
+        def _vis_fwd(state, batch):
+            variables = {"params": state.params}
+            tvars = {"params": state.ema_params}
+            if state.batch_stats:
+                variables["batch_stats"] = tvars["batch_stats"] = \
+                    state.batch_stats
+            out = model.apply(variables, *ge.model_inputs(batch), train=False)
+            ren = se.render_student_pose(cfg, batch, out["rot"], out["trans"])
+            tout = model.apply(tvars, *ge.model_inputs(batch), train=False,
+                               forward_mode="geo")
+            tmask = get_mask_prob(tout["mask_logits"],
+                                  cfg.model.loss.mask_loss_type)[..., 0]
+            return ren["color"], tmask
+
+        def vis_fn(state, batch, storage):
+            color, tmask = _vis_fwd(state, batch)
+            color = np.asarray(color, dtype=np.float32)
+            tmask = np.asarray(tmask, dtype=np.float32)
+            k = min(4, color.shape[0])
+            s = cfg.model.input_res
+            import cv2
+            rows = []
+            for i in range(k):
+                tm = cv2.resize(tmask[i], (s, s),
+                                interpolation=cv2.INTER_NEAREST)
+                rows.append(np.concatenate(
+                    [np.asarray(batch["roi_img"][i], dtype=np.float32),
+                     color[i], np.repeat(tm[..., None], 3, -1)], axis=1))
+            grid = np.clip(np.concatenate(rows, axis=0), 0, 1)
+            storage.tb.add_image("self/roi_ren_pseudomask", grid)
+
     do_train(cfg, state, train_step, mixed_batches(), to_device,
-             resume=args.resume)
+             vis_fn=vis_fn, resume=args.resume)
 
 
 if __name__ == "__main__":
