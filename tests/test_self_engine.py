@@ -346,3 +346,28 @@ def test_object_models_texture_tables(tmp_path):
     assert models.textures.shape == (1, 16, 24, 3)
     assert np.isfinite(models.uvs).all()
     assert models.uvs.max() <= 1.0 + 1e-6
+
+
+def test_pose_geo_synsup_interleave():
+    """The three stage-II step kinds interleave on one TrainState (the CLI's
+    mixed_batches dispatch, reference self_engine.py:409-421): alternating
+    jitted steps keep the state structure, losses finite, step advancing."""
+    cfg = tiny_cfg()
+    model = ge.build_gdrn(cfg)
+    batch = make_batch(cfg)
+    state = ge.init_state(cfg, model, batch)
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(1), batch["roi_img"],
+                    batch["roi_img"])["params"]
+    pose = jax.jit(se.make_self_train_step(cfg, model, lpips))
+    geo = jax.jit(se.make_self_geo_train_step(cfg, model))
+    syn = jax.jit(se.make_synsup_train_step(cfg, model))
+    for i, kind in enumerate(("pose", "geo", "syn", "pose", "geo")):
+        if kind == "pose":
+            state, m = pose(state, lp, batch, jax.random.PRNGKey(i))
+        elif kind == "geo":
+            state, m = geo(state, batch, jax.random.PRNGKey(i))
+        else:
+            state, m = syn(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["total_loss"])), (kind, m)
+    assert int(state.step) == 5

@@ -127,7 +127,23 @@ def main():
     if args.init_npz:
         state = load_init_npz(state, args.init_npz)
     step = eng.jit_train_step(cfg, model, mesh=mesh)
-    do_train(cfg, state, step, batches, to_device, resume=args.resume)
+
+    # periodic in-training evaluation on the test split (reference
+    # engine.py:445-520 runs do_test every EVAL_PERIOD)
+    eval_fn = None
+    if cfg.test.eval_period > 0:
+        ds_t, models_t, meta_t = build_dataset(cfg, train=False,
+                                               det_file=args.det_file)
+        estep = eng.jit_eval_step(cfg, model, mesh=mesh)
+
+        def eval_fn(st):
+            ev = PoseEvaluator(models_t, meta_t)
+            run_inference(estep, st, ds_t.batches(cfg.solver.ims_per_batch),
+                          ev, to_device=to_device)
+            return ev.evaluate()
+
+    do_train(cfg, state, step, batches, to_device, eval_fn=eval_fn,
+             resume=args.resume)
 
 
 if __name__ == "__main__":
