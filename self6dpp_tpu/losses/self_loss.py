@@ -158,21 +158,28 @@ def compute_self_loss_pose(
         loss["loss_mask_self"] = cfg.mask_lw * lm
 
     vis_m = pseudo_vis[..., None]
+    # ONE shared masked-color pair for every image loss: the LAB term is
+    # mask-averaged anyway, so pre-masking is identical inside the mask and
+    # lets XLA CSE a single color pipeline instead of keeping a second
+    # unmasked consumer of the render output alive (the raw-color variant
+    # measured 47 ms/step vs 5 ms, BENCH_NOTES.md)
+    ren_m = ren["color"] * vis_m
+    img_m = batch["roi_img"] * vis_m
 
     # ---- perceptual -----------------------------------------------------
     if cfg.perceptual_lw > 0 and lpips_fn is not None:
         loss["loss_percep_obj"] = cfg.perceptual_lw * lpips_fn(
-            ren["color"] * vis_m, batch["roi_img"] * vis_m).mean()
+            ren_m, img_m).mean()
 
     # ---- MS-SSIM --------------------------------------------------------
     if cfg.ms_ssim_lw > 0:
         loss["loss_ms_ssim"] = cfg.ms_ssim_lw * (
-            1.0 - ms_ssim(batch["roi_img"] * vis_m, ren["color"] * vis_m))
+            1.0 - ms_ssim(img_m, ren_m))
 
     # ---- LAB chroma -----------------------------------------------------
     if cfg.lab_lw > 0:
         loss["loss_color_ab_obj"] = cfg.lab_lw * lab_loss(
-            ren["color"], batch["roi_img"], mask=pseudo_vis, no_l=cfg.lab_no_l)
+            ren_m, img_m, mask=pseudo_vis, no_l=cfg.lab_no_l)
 
     # ---- depth chamfer --------------------------------------------------
     if cfg.depth_chamfer_lw > 0 and "roi_depth" in batch:

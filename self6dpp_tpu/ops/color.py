@@ -31,14 +31,7 @@ def rgb_to_xyz(rgb: Array) -> Array:
 
 def rgb_to_lab(rgb: Array, eps: float = 1e-8) -> Array:
     """RGB [0,1] -> CIELAB (L in [0,100], a/b roughly [-128,127])."""
-    xyz = rgb_to_xyz(rgb) / _XYZ_REF
-    thr = 0.008856
-    f = jnp.where(xyz > thr, jnp.cbrt(jnp.maximum(xyz, eps)),
-                  7.787 * xyz + 16.0 / 116.0)
-    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
-    L = 116.0 * fy - 16.0
-    a = 500.0 * (fx - fy)
-    b = 200.0 * (fy - fz)
+    L, a, b = _lab_channels(rgb, eps)
     return jnp.stack([L, a, b], axis=-1)
 
 
@@ -59,20 +52,51 @@ def rgb_to_hsv(rgb: Array, eps: float = 1e-8) -> Array:
     return jnp.stack([h, s, mx], axis=-1)
 
 
+def _lab_channels(rgb: Array, eps: float = 1e-8):
+    """(..., 3) RGB -> (L, a, b) as SEPARATE (...) arrays.
+
+    Channel-split form: full-lane (..., H, W) elementwise math instead of
+    einsum/stack on a 3-wide minor dimension. NOTE: on the current TPU
+    backend any cross-channel color mixing inside the stage-II train graph
+    (einsum, slices, or 1x1-conv forms alike) still triggers a fusion
+    pathology that fragments the whole step into ~10k kernels (~40 ms vs
+    ~4 ms without the LAB term) — measured and documented in
+    BENCH_NOTES.md "LAB loss compile pathology"."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+
+    def lin(c):
+        return jnp.where(c > 0.04045, ((c + 0.055) / 1.055) ** 2.4, c / 12.92)
+
+    rl, gl, bl = lin(r), lin(g), lin(b)
+    M = _RGB2XYZ
+    x = (M[0, 0] * rl + M[0, 1] * gl + M[0, 2] * bl) / _XYZ_REF[0]
+    y = (M[1, 0] * rl + M[1, 1] * gl + M[1, 2] * bl) / _XYZ_REF[1]
+    z = (M[2, 0] * rl + M[2, 1] * gl + M[2, 2] * bl) / _XYZ_REF[2]
+
+    def f(c):
+        return jnp.where(c > 0.008856, jnp.cbrt(jnp.maximum(c, eps)),
+                         7.787 * c + 16.0 / 116.0)
+
+    fx, fy, fz = f(x), f(y), f(z)
+    return 116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)
+
+
 def lab_loss(pred_rgb: Array, gt_rgb: Array, mask: Array | None = None,
              no_l: bool = True) -> Array:
     """L1 on (a,b) [optionally +L] channels (stage-II LAB color loss,
     self_engine_utils.py:745-774: compares chroma only by default so the loss
-    is robust to synthetic/real lighting gaps)."""
-    lab_p = rgb_to_lab(pred_rgb)
-    lab_g = rgb_to_lab(gt_rgb)
-    diff = jnp.abs(lab_p - lab_g)
-    if no_l:
-        diff = diff[..., 1:]
+    is robust to synthetic/real lighting gaps). Channel-split form — see
+    _lab_channels for why."""
+    Lp, ap, bp = _lab_channels(pred_rgb)
+    Lg, ag, bg = _lab_channels(gt_rgb)
+    diff = jnp.abs(ap - ag) + jnp.abs(bp - bg)
+    n_ch = 2
+    if not no_l:
+        diff = diff + jnp.abs(Lp - Lg)
+        n_ch = 3
     if mask is not None:
-        diff = diff * mask[..., None]
-        return diff.sum() / (jnp.maximum(mask.sum(), 1.0) * diff.shape[-1])
-    return diff.mean()
+        return (diff * mask).sum() / (jnp.maximum(mask.sum(), 1.0) * n_ch)
+    return diff.mean() / n_ch
 
 
 _YUV = jnp.asarray([
