@@ -178,6 +178,11 @@ def compute_self_loss_pose(
 
     # ---- LAB chroma -----------------------------------------------------
     if cfg.lab_lw > 0:
+        # NOTE: this term currently triggers an XLA TPU fusion cliff in the
+        # full stage-II graph (~40 ms/step vs ~4 ms without it) that no
+        # formulation avoids — including fused custom-vjp Pallas kernels in
+        # channel-major and NHWC-native layouts. Details + measurements in
+        # BENCH_NOTES.md "LAB loss compile pathology"; lab_lw=0 buys ~10x.
         loss["loss_color_ab_obj"] = cfg.lab_lw * lab_loss(
             ren_m, img_m, mask=pseudo_vis, no_l=cfg.lab_no_l)
 
