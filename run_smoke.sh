@@ -18,20 +18,30 @@ echo "== stage-I GDRN train =="
 python tools/train_gdrn.py --config configs/gdrn/synthetic_smoke.py \
     --opts solver.total_iters=12 ckpt_period=12
 
-echo "== stage-I GDRN eval (BOP csv + ADD tables) =="
-python tools/train_gdrn.py --config configs/gdrn/synthetic_smoke.py \
-    --eval-only --det-file "$ROOT/lm/gt_dets.json"
+echo "== YOLOv4 detector train =="
+python tools/train_yolov4.py --config configs/gdrn/synthetic_smoke.py \
+    --input-size 128 \
+    --opts exp_name=yolo_synthetic_smoke solver.total_iters=6 ckpt_period=6
 
-echo "== pseudo-pose generation =="
+echo "== YOLOv4 detect (writes the det-json contract) =="
+python tools/train_yolov4.py --config configs/gdrn/synthetic_smoke.py \
+    --eval-only --input-size 128 --out-det "$OUT/yolo_dets.json" \
+    --opts exp_name=yolo_synthetic_smoke
+
+echo "== stage-I GDRN eval on YOLO detections (BOP csv + ADD tables) =="
+python tools/train_gdrn.py --config configs/gdrn/synthetic_smoke.py \
+    --eval-only --det-file "$OUT/yolo_dets.json"
+
+echo "== pseudo-pose generation from YOLO detections =="
 python tools/gen_pseudo_poses.py --config configs/gdrn/synthetic_smoke.py \
     --gdrn-ckpt "$OUT/gdrn_synthetic_smoke/ckpt" \
-    --det-file "$ROOT/lm/gt_dets.json" --out "$OUT/pseudo.json"
+    --det-file "$OUT/yolo_dets.json" --out "$OUT/pseudo.json"
 
-echo "== stage-II self-supervised train (TRAIN2 + geo + refiner + repj) =="
+echo "== stage-II self-supervised train (TRAIN2 + geo + refiner + repj + in-train eval) =="
 python tools/train_self6dpp.py --config configs/self6dpp/synthetic_smoke.py \
     --weights "$OUT/gdrn_synthetic_smoke/ckpt" \
     --det-file "$OUT/pseudo.json" \
-    --opts solver.total_iters=8 ckpt_period=8
+    --opts solver.total_iters=8 ckpt_period=8 test.eval_period=4
 
 echo "== deepim smoke train =="
 python tools/train_deepim.py --config configs/deepim/synthetic_smoke.py \

@@ -276,7 +276,11 @@ class DataConfig:
 class TestConfig:
     eval_period: int = 0
     test_bbox_type: str = "est"     # est | gt
-    error_types: tuple[str, ...] = ("ad", "rete", "re", "te", "proj")
+    # reference default error list (eval_pose_results_more.py:198):
+    # vsd/mssd/mspd switch --eval-only to also emit the BOP19
+    # average-recall table (rendered-depth VSD + symmetry-aware MSSD/MSPD)
+    error_types: tuple[str, ...] = ("ad", "rete", "re", "te", "proj",
+                                    "vsd", "mssd", "mspd")
     use_pnp: bool = False
     pnp_type: str = "ransac_pnp"
     save_results_only: bool = False
@@ -322,6 +326,13 @@ class SelfSupConfig:
     ms_ssim_lw: float = 1.0
     lab_lw: float = 0.0
     lab_no_l: bool = True
+    # Compute the LAB term's parameter gradient in a SEPARATELY-JITTED
+    # program (own forward through model+render) and sum gradients at the
+    # top level. The LAB reduction inside the full stage-II graph triggers
+    # an XLA TPU fusion cliff (~10x step cost — BENCH_NOTES.md "LAB loss
+    # compile pathology"); isolating it in its own compiled program keeps
+    # the main step fused at the cost of a second small forward+render.
+    lab_split_grad: bool = True
     depth_chamfer_lw: float = 0.0
     chamfer_dist_thr: float = 0.05
     chamfer_center_lw: float = 0.0
@@ -333,6 +344,14 @@ class SelfSupConfig:
     ema_decay: float = 0.999
     teacher_update_freq: int = 1    # epochs between EMA teacher refreshes
     geo_mode_ratio: float = 0.0     # fraction of iters in 'geo' output mode
+    # pose/geo interleave schedule. "random" = independent draw at
+    # geo_mode_ratio per iteration — this IS the live reference behavior
+    # (data_loader_self.py:742-748 step(): np.random.rand() < geo_mode_prob;
+    # the strict every-other-batch __switch_output_mode at :728-740 is
+    # commented-out dead code there). "alternate" = deterministic interleave
+    # hitting the same marginal ratio (geo every round(1/ratio) iters);
+    # "fix_pose"/"fix_geo" pin the mode (the reference's 'fix').
+    mode_schedule: str = "random"   # random | alternate | fix_pose | fix_geo
     # POSE_VARIATED_AUG for the geo branch (new_cfg/base.py:34-50): shared
     # in-graph affine warp of the student ROI and the teacher pseudo maps
     geo_aug_rot_deg: float = 180.0  # ROT.MAX_DEGREE // 2

@@ -20,7 +20,8 @@ from typing import Iterator
 import numpy as np
 
 from ..config.base import Config
-from ..ops.fps import farthest_point_sampling, xyz_to_region
+from ..ops.fps import (farthest_point_sampling, xyz_to_region,
+                       xyz_to_region_batch)
 from .aug import (aug_bbox_dzi, color_aug, crop_resize_by_warp_affine,
                   get_2d_coord, replace_bg)
 from .bop import Record
@@ -45,6 +46,31 @@ def compute_vf_np(fps_points: np.ndarray, K: np.ndarray, R: np.ndarray,
     vf = kp[None, None, :, :] - grid[:, :, None, :]  # (o,o,f,2)
     vf /= np.maximum(np.linalg.norm(vf, axis=-1, keepdims=True), 1e-8)
     vf = vf.reshape(out_res, out_res, -1) * mask[..., None]
+    return vf.astype(np.float32)
+
+
+def compute_vf_np_batch(fps_points: np.ndarray, K: np.ndarray, R: np.ndarray,
+                        t: np.ndarray, center: np.ndarray, scale: np.ndarray,
+                        out_res: int, mask: np.ndarray) -> np.ndarray:
+    """Batched compute_vf_np: fps_points (B,f,3), K/R (B,3,3), t (B,3),
+    center (B,2), scale (B,), mask (B,o,o) -> (B,o,o,2f). One vectorized
+    pass replaces the loader finish stage's per-sample loop."""
+    B = len(fps_points)
+    o = out_res
+    cam = np.einsum("bfc,bdc->bfd", fps_points, R) + t[:, None]     # (B,f,3)
+    kp = cam[..., :2] / np.maximum(cam[..., 2:3], 1e-8)
+    f_xy = np.stack([K[:, 0, 0], K[:, 1, 1]], -1)[:, None]          # (B,1,2)
+    c_xy = np.stack([K[:, 0, 2], K[:, 1, 2]], -1)[:, None]
+    kp = kp * f_xy + c_xy                                           # (B,f,2)
+    lin = (np.arange(o, dtype=np.float32) + 0.5) / o
+    px = center[:, 0:1] - scale[:, None] / 2 + scale[:, None] * lin[None]
+    py = center[:, 1:2] - scale[:, None] / 2 + scale[:, None] * lin[None]
+    gx = np.broadcast_to(px[:, None, :], (B, o, o))    # grid[y,x] = px[x]
+    gy = np.broadcast_to(py[:, :, None], (B, o, o))    #             py[y]
+    grid = np.stack([gx, gy], axis=-1)                              # (B,o,o,2)
+    vf = kp[:, None, None] - grid[..., None, :]                     # (B,o,o,f,2)
+    vf /= np.maximum(np.linalg.norm(vf, axis=-1, keepdims=True), 1e-8)
+    vf = vf.reshape(B, o, o, -1) * mask[..., None]
     return vf.astype(np.float32)
 
 
@@ -510,38 +536,48 @@ class GDRNDataset:
                                                  s_out, gh.with_norm)
         for s in samples:
             s.pop("_scale"), s.pop("_bbox")
+        # batched finish stage (VERDICT r2 weak #3): the per-sample python
+        # loop (region assignment, VF, normals) becomes whole-batch numpy —
+        # einsums over (B,...) — so the serial host stage no longer caps
+        # multi-worker scaling (measurements in BENCH_NOTES loader section)
+        xyz_obj = attr[..., :3]                              # (B,o,o,3)
+        m_obj = m_obj_b
+        m_visib = np.stack([s["gt_mask_visib"] for s in samples])
+        ext = np.maximum(self.models.extents[cls], 1e-8)     # (B,3)
+        xyz_norm = np.where(
+            m_obj[..., None] > 0,
+            xyz_obj / ext[:, None, None] + 0.5, 0.0).astype(np.float32)
+        xyz_bin = np.clip((xyz_norm * gh.xyz_bin).astype(np.int32), 0,
+                          gh.xyz_bin - 1)
+        region = xyz_to_region_batch(
+            xyz_obj, self.models.fps_points[cls],
+            m_obj * m_visib if self.train else m_obj).astype(np.int32)
+        trunc = (m_visib * m_obj).astype(np.float32)
+        if gh.with_vf:
+            # supervised keypoint vector fields (compute_vf_torch parity,
+            # core/utils/data_utils.py:357; offline tools/make_vf_file.py)
+            f = gh.num_vf_points
+            fpsb = self.models.fps_points[cls][:, :f]
+            vf_vis = compute_vf_np_batch(fpsb, K, R, t, center, scale,
+                                         s_out, m_visib * m_obj)
+            vf_full = compute_vf_np_batch(fpsb, K, R, t, center, scale,
+                                          s_out, m_obj)
+        if gh.with_norm:
+            n_cam = np.einsum("bhwc,bdc->bhwd", attr[..., 3:6], R)
+            n_cam /= np.maximum(
+                np.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-8)
+            norm_b = (n_cam * m_obj[..., None]).astype(np.float32)
         for i, s in enumerate(samples):
-            ci = int(cls[i])
-            xyz_obj = attr[i, ..., :3]
-            m_obj = m_obj_b[i]
-            m_visib = s["gt_mask_visib"]
-            ext = np.maximum(self.models.extents[ci], 1e-8)
-            xyz_norm = np.where(m_obj[..., None] > 0,
-                                xyz_obj / ext + 0.5, 0.0).astype(np.float32)
-            region = xyz_to_region(
-                xyz_obj, self.models.fps_points[ci],
-                m_obj * m_visib if self.train else m_obj)
-            s["gt_xyz"] = xyz_norm
-            s["gt_xyz_bin"] = np.clip(
-                (xyz_norm * gh.xyz_bin).astype(np.int32), 0, gh.xyz_bin - 1)
-            s["gt_mask_trunc"] = (m_visib * m_obj).astype(np.float32)
-            s["gt_mask_obj"] = m_obj.astype(np.float32)
-            s["gt_region"] = region.astype(np.int32)
+            s["gt_xyz"] = xyz_norm[i]
+            s["gt_xyz_bin"] = xyz_bin[i]
+            s["gt_mask_trunc"] = trunc[i]
+            s["gt_mask_obj"] = m_obj[i].astype(np.float32)
+            s["gt_region"] = region[i]
             if gh.with_vf:
-                # supervised keypoint vector fields (compute_vf_torch parity,
-                # core/utils/data_utils.py:357; offline tools/make_vf_file.py)
-                f = gh.num_vf_points
-                s["gt_vf_vis"] = compute_vf_np(
-                    self.models.fps_points[ci][:f], K[i], R[i], t[i],
-                    center[i], scale[i], s_out, m_visib * m_obj)
-                s["gt_vf_full"] = compute_vf_np(
-                    self.models.fps_points[ci][:f], K[i], R[i], t[i],
-                    center[i], scale[i], s_out, m_obj)
+                s["gt_vf_vis"] = vf_vis[i]
+                s["gt_vf_full"] = vf_full[i]
             if gh.with_norm:
-                n_cam = attr[i, ..., 3:6] @ R[i].T
-                n_cam /= np.maximum(
-                    np.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-8)
-                s["gt_norm"] = (n_cam * m_obj[..., None]).astype(np.float32)
+                s["gt_norm"] = norm_b[i]
         return samples
 
     def make_samples(self, keys: list[tuple[int, int]],

@@ -100,10 +100,23 @@ class PoseEvaluator:
                 "obj_id": int(batch.get("obj_id", [0] * len(rot))[i]),
                 "score": float(batch.get("score", [1.0] * len(rot))[i]),
                 "time": float(output.get("time", -1.0)),
+                # full-frame observed depth for VSD visibility, when the
+                # loader provides it; zeros otherwise (bop19 visib_mode
+                # counts missing-depth pixels as visible)
+                "depth_obs": (np.asarray(batch["full_depth"][i])
+                              if "full_depth" in batch else None),
             })
 
-    def evaluate(self) -> dict[str, dict[str, float]]:
-        """Returns {obj_name: recall_table} + 'avg'."""
+    def evaluate(self, bop19: bool = False, vsd_chunk: int = 16,
+                 vsd_scale: float = 1.0) -> dict[str, dict[str, float]]:
+        """Returns {obj_name: recall_table} + 'avg'.
+
+        bop19=True additionally computes the BOP19 VSD/MSSD/MSPD
+        average-recall scores (the reference's BOP-toolkit subprocess
+        protocol, test_utils.py:33-81 + eval_pose_results_more.py:44-75):
+        est/gt depths are rendered full-frame with the hard rasterizer, VSD
+        runs the tau x theta grid, MSSD/MSPD use the dataset symmetry set,
+        and each table gains ar_vsd / ar_mssd / ar_mspd / bop19_ar."""
         tables: dict[str, dict[str, float]] = {}
         for cls, preds in sorted(self.preds.items()):
             name = self.models.names[cls]
@@ -124,12 +137,68 @@ class PoseEvaluator:
             proj = np.asarray(PE.proj_error(R_est, t_est, R_gt, t_gt, K, P))
             tables[name] = PE.recall_table(add, re, te, proj, diam)
             tables[name]["auc_add"] = PE.auc_add(add)
+            if bop19:
+                n = len(preds)
+                sym_r = jnp.broadcast_to(
+                    jnp.asarray(self.models.sym_rots[cls])[None],
+                    (n,) + self.models.sym_rots[cls].shape)
+                sym_v = jnp.broadcast_to(
+                    jnp.asarray(self.models.sym_valid[cls])[None],
+                    (n,) + self.models.sym_valid[cls].shape)
+                mssd = np.asarray(PE.mssd_error(
+                    R_est, t_est, R_gt, t_gt, P, sym_r, sym_v))
+                mspd = np.asarray(PE.mspd_error(
+                    R_est, t_est, R_gt, t_gt, K, P, sym_r, sym_v))
+                vsd = self._vsd_errors(cls, preds, chunk=vsd_chunk,
+                                       scale=vsd_scale)
+                tables[name].update(PE.bop19_average_recalls(
+                    vsd, mssd, mspd, diam, self.meta.width))
             tables[name]["n"] = len(preds)
         if tables:
             keys = next(iter(tables.values())).keys()
             tables["avg"] = {
                 k: float(np.mean([t[k] for t in tables.values()])) for k in keys}
         return tables
+
+    def _vsd_errors(self, cls: int, preds: list[dict], chunk: int = 16,
+                    delta: float = 0.015, scale: float = 1.0) -> np.ndarray:
+        """Per-prediction BOP19 VSD errors (N, 10) — taus = BOP19_TH
+        fractions of the object diameter (eval_pose_results_more.py:58-59).
+        Renders est/gt depth full-frame via ops.rasterizer hard mode (the
+        reference renders through the BOP-toolkit renderer,
+        pose_error.py:59-80). scale<1 renders frame+intrinsics uniformly
+        scaled — an approximation trading pixel density for speed (the
+        toolkit is scale=1)."""
+        from ..ops.rasterizer import rasterize_batch
+        H = max(1, int(round(self.meta.height * scale)))
+        W = max(1, int(round(self.meta.width * scale)))
+        verts = jnp.asarray(self.models.verts[cls])
+        faces = jnp.asarray(self.models.faces[cls])
+        attrs = jnp.zeros_like(verts)
+        diam = float(self.models.diameters[cls])
+        out = []
+        for i0 in range(0, len(preds), chunk):
+            ch = preds[i0:i0 + chunk]
+            n = len(ch)
+            Kc = jnp.asarray(np.stack([p["K"] for p in ch]))
+            Re = jnp.asarray(np.stack([p["R"] for p in ch]))
+            tte = jnp.asarray(np.stack([p["t"] for p in ch]))
+            Rg = jnp.asarray(np.stack([p["R_gt"] for p in ch]))
+            tg = jnp.asarray(np.stack([p["t_gt"] for p in ch]))
+            vb = jnp.broadcast_to(verts, (n,) + verts.shape)
+            fb = jnp.broadcast_to(faces, (n,) + faces.shape)
+            ab = jnp.broadcast_to(attrs, (n,) + attrs.shape)
+            d_est = rasterize_batch(vb, fb, ab, Kc, Re, tte, height=H,
+                                    width=W, with_prob=False).depth
+            d_gt = rasterize_batch(vb, fb, ab, Kc, Rg, tg, height=H,
+                                   width=W, with_prob=False).depth
+            d_obs = jnp.asarray(np.stack([
+                p["depth_obs"] if p.get("depth_obs") is not None
+                else np.zeros((H, W), np.float32) for p in ch]))
+            e = PE.vsd_error(d_est, d_gt, d_obs, taus=PE.BOP19_TH,
+                             delta=delta, K=Kc, diameter=diam)
+            out.append(np.asarray(e))
+        return np.concatenate(out, 0) if out else np.zeros((0, len(PE.BOP19_TH)))
 
     def results_for_csv(self) -> list[dict]:
         return [p for preds in self.preds.values() for p in preds]
@@ -140,7 +209,10 @@ def table_to_markdown(tables: dict[str, dict[str, float]],
                             "re_2", "te_2", "proj_2", "proj_5", "re", "te")
                       ) -> str:
     """Render the per-object metric table (reference eval_result_to_markdown,
-    core/utils/utils.py:234)."""
+    core/utils/utils.py:234). BOP19 AR columns are appended automatically
+    when evaluate(bop19=True) produced them."""
+    if any("bop19_ar" in t for t in tables.values()):
+        keys = tuple(keys) + ("ar_vsd", "ar_mssd", "ar_mspd", "bop19_ar")
     lines = ["| obj | " + " | ".join(keys) + " |",
              "|" + "----|" * (len(keys) + 1)]
     for name, tab in tables.items():

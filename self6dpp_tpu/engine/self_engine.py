@@ -98,6 +98,32 @@ def gated_ema_decay(base_decay: float, warmup_iters: int, every: int = 1):
     return lambda step: jnp.where(step % every == 0, raw(step), 1.0)
 
 
+def make_mode_picker(ss, rng_np):
+    """Per-iteration 'pose'|'geo' mode choice (SelfSupConfig.mode_schedule).
+
+    "random" reproduces the live reference step() — an independent draw at
+    geo_mode_prob each batch (data_loader_self.py:742-748); "alternate" is a
+    deterministic interleave at the same marginal ratio (the reference's
+    commented-out __switch_output_mode, :728-740, generalized to any ratio:
+    geo every round(1/ratio)-th iteration); "fix_pose"/"fix_geo" pin the
+    mode ('fix' there). Returns next_mode() -> str.
+    """
+    import itertools
+    sched = ss.mode_schedule
+    ratio = ss.geo_mode_ratio
+    if sched not in ("random", "alternate", "fix_pose", "fix_geo"):
+        raise ValueError(f"unknown mode_schedule: {sched!r}")
+    if sched == "fix_geo":
+        return lambda: "geo"
+    if sched == "fix_pose" or ratio <= 0:
+        return lambda: "pose"
+    if sched == "alternate":
+        period = max(1, round(1.0 / ratio))
+        counter = itertools.count(1)
+        return lambda: "geo" if next(counter) % period == 0 else "pose"
+    return lambda: "geo" if rng_np.random() < ratio else "pose"
+
+
 def select_pseudo_pose(ss, batch: dict[str, Array],
                        tout: dict[str, Array]) -> tuple[Array, Array]:
     """Pseudo-pose source (batch_data_self_pose,
@@ -114,24 +140,36 @@ def select_pseudo_pose(ss, batch: dict[str, Array],
 
 def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
                          refiner: tuple | None = None,
-                         ema_update_every: int = 1):
-    """Returns train_step(state, lpips_params, batch, rng) -> (state, metrics).
+                         ema_update_every: int = 1,
+                         split_lab: bool = False):
+    """Returns train_step(state, lpips_params, batch, rng[, refiner_vars,
+    extra_grads]) -> (state, metrics).
 
     The teacher = state.ema_params (mean teacher, ModelEMA parity).
     refiner: optional (deepim_model, deepim_variables, refiner_cfg) — when
     cfg.self_sup.refine_with_deepim, the pseudo pose is refined in-graph by
     the DeepIM loop before the loss (the "++" of Self6D++; reference loads it
     at main_self6dpp.py:231-245 and refines offline via refiner_engine.py —
-    here the refine loop fuses into the same XLA step).
+    here the refine loop fuses into the same XLA step). Refiner variables
+    may be passed per-call as ``refiner_vars`` (the production path does, so
+    they participate in jit sharding/donation like ``lpips_params``); the
+    tuple's variables are the fallback.
+
+    split_lab: drop the LAB chroma term from this graph; its gradient
+    arrives pre-computed via ``extra_grads`` (see make_lab_grad_fn) and is
+    summed into the parameter gradients before the optimizer.
     """
+    import dataclasses
     ss = cfg.self_sup
+    ss_loss = dataclasses.replace(ss, lab_lw=0.0) if split_lab else ss
     decay_fn = gated_ema_decay(ss.ema_decay, cfg.solver.ema_warmup_iters,
                                ema_update_every)
 
     refine_fn = None
+    default_rvars = None
     if ss.refine_with_deepim and refiner is not None:
         from .deepim_engine import make_refine_fn
-        dmodel, dvars, dcfg = refiner
+        dmodel, default_rvars, dcfg = refiner
         refine_fn = make_refine_fn(dcfg, dmodel, dcfg.deepim.n_iter_test)
 
     def lpips_fn_factory(lpips_params):
@@ -140,7 +178,9 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
         return lambda a, b: lpips.apply({"params": lpips_params}, a, b)
 
     def train_step(state: TrainState, lpips_params: Any,
-                   batch: dict[str, Array], rng: Array):
+                   batch: dict[str, Array], rng: Array,
+                   refiner_vars: Any = None, extra_grads: Any = None):
+        rvars = refiner_vars if refiner_vars is not None else default_rvars
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
@@ -181,7 +221,7 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
                     "roi_cls": batch["roi_cls"],
                     "obs_mask": pseudo_vis,
                 }
-                p_rot, p_trans = refine_fn(dvars, ref_batch, p_rot, p_trans)
+                p_rot, p_trans = refine_fn(rvars, ref_batch, p_rot, p_trans)
             p_rot = jax.lax.stop_gradient(p_rot)
             p_trans = jax.lax.stop_gradient(p_trans)
 
@@ -233,7 +273,7 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
 
             ren = render_student_pose(cfg, batch, out["rot"], out["trans"])
             ld = compute_self_loss_pose(
-                ss, ren, out, pseudo, batch,
+                ss_loss, ren, out, pseudo, batch,
                 lpips_fn=lpips_fn_factory(lpips_params))
 
             if ss.repj_refine:
@@ -266,6 +306,8 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
             return total, ld
 
         (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if extra_grads is not None:
+            grads = jax.tree.map(jnp.add, grads, extra_grads)
         state = state.apply_gradients(grads)
         state = state.update_ema(decay_fn)
         metrics = dict(ld)
@@ -273,6 +315,53 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
         return state, metrics
 
     return train_step
+
+
+def make_lab_grad_fn(cfg: Config, model: GDRN):
+    """Gradient of the LAB chroma term alone, meant to be jitted as its OWN
+    XLA program: student pose forward -> in-graph render -> masked LAB L1 ->
+    d(lab)/d(params). The term's reduction fragments the full stage-II graph
+    (~10,500 tiny kernels, BENCH_NOTES.md "LAB loss compile pathology");
+    compiling it separately keeps the main step fused and costs only a
+    second small forward+render. The teacher runs a geo-mode forward (mask
+    head only) to produce the pseudo visibility the loss is masked with —
+    identical to the mask the main step derives (self_engine_utils.py:745-774
+    masks the LAB crop with the pseudo visib mask).
+
+    Returns lab_grad(params, batch_stats, ema_params, batch, rng) ->
+    (lab_value, grads).
+    """
+    ss = cfg.self_sup
+    from ..losses.mask_losses import get_mask_prob
+    from ..ops.color import lab_loss
+
+    def lab_value(params, batch_stats, ema_params, batch, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, *model_inputs(batch), train=False,
+                          rngs={"dropout": rng})
+        tvars = {"params": ema_params}
+        if batch_stats:
+            tvars["batch_stats"] = batch_stats
+        tout = jax.lax.stop_gradient(
+            model.apply(tvars, *model_inputs(batch), train=False,
+                        forward_mode="geo"))
+        t_prob = get_mask_prob(tout["mask_logits"],
+                               cfg.model.loss.mask_loss_type)[..., 0]
+        vis_lr = (t_prob > 0.5).astype(jnp.float32)
+        s = cfg.model.input_res
+        vis = jax.image.resize(vis_lr, (vis_lr.shape[0], s, s), "nearest")
+        ren = render_student_pose(cfg, batch, out["rot"], out["trans"])
+        ren_m = ren["color"] * vis[..., None]
+        img_m = batch["roi_img"] * vis[..., None]
+        return ss.lab_lw * lab_loss(ren_m, img_m, mask=vis, no_l=ss.lab_no_l)
+
+    def lab_grad(params, batch_stats, ema_params, batch, rng):
+        return jax.value_and_grad(lab_value)(params, batch_stats, ema_params,
+                                             batch, rng)
+
+    return lab_grad
 
 
 def make_self_geo_train_step(cfg: Config, model: GDRN,
@@ -351,15 +440,47 @@ def make_self_geo_train_step(cfg: Config, model: GDRN,
 def jit_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
                         refiner: tuple | None = None,
                         ema_update_every: int = 1, mesh=None):
-    """Mesh-aware jit of the pose-mode step (state, lpips_params, batch, rng)."""
+    """Mesh-aware jit of the pose-mode step (state, lpips_params, batch, rng).
+
+    Refiner variables ride the jit call explicitly (not the closure) so they
+    get the same sharding/donation treatment as lpips_params. When
+    cfg.self_sup.lab_split_grad and lab_lw>0, the LAB term's gradient runs
+    as a SECOND jitted program whose result feeds the main step's
+    ``extra_grads`` — the fusion-cliff escape (BENCH_NOTES.md)."""
+    ss = cfg.self_sup
+    split = ss.lab_split_grad and ss.lab_lw > 0
     step = make_self_train_step(cfg, model, lpips, refiner=refiner,
-                                ema_update_every=ema_update_every)
+                                ema_update_every=ema_update_every,
+                                split_lab=split)
+    rvars = refiner[1] if (ss.refine_with_deepim and refiner is not None) \
+        else None
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
-    from ..parallel.mesh import step_shardings
-    st, data, repl = step_shardings(mesh, cfg.dist)
-    return jax.jit(step, in_shardings=(st, repl, data, repl),
-                   donate_argnums=(0,))
+        jstep = jax.jit(step, donate_argnums=(0,))
+    else:
+        from ..parallel.mesh import step_shardings
+        st, data, repl = step_shardings(mesh, cfg.dist)
+        jstep = jax.jit(step, in_shardings=(st, repl, data, repl, repl, st),
+                        donate_argnums=(0,))
+    if not split:
+        return lambda state, lp, batch, rng: jstep(state, lp, batch, rng,
+                                                   rvars, None)
+    # inputs of the LAB program are already committed/sharded (state from
+    # init_state/shard_state, batch from shard_batch) — jit infers
+    jlab = jax.jit(make_lab_grad_fn(cfg, model))
+
+    def combined(state: TrainState, lpips_params: Any,
+                 batch: dict[str, Array], rng: Array):
+        # enqueue the LAB pass FIRST: the main step donates the state
+        # buffers, and single-device programs execute in enqueue order
+        lab_val, lab_grads = jlab(state.params, state.batch_stats,
+                                  state.ema_params, batch, rng)
+        state, metrics = jstep(state, lpips_params, batch, rng, rvars,
+                               lab_grads)
+        metrics["loss_color_ab_obj"] = lab_val
+        metrics["total_loss"] = metrics["total_loss"] + lab_val
+        return state, metrics
+
+    return combined
 
 
 def jit_self_geo_train_step(cfg: Config, model: GDRN,

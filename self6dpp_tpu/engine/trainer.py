@@ -79,7 +79,19 @@ def do_train(
         if (eval_fn is not None and cfg.test.eval_period > 0
                 and (it + 1) % cfg.test.eval_period == 0):
             tables = eval_fn(state)
-            logger.info(f"eval @ {it + 1}: {tables.get('avg', tables)}")
+            avg = tables.get("avg", {})
+            logger.info(f"eval @ {it + 1}: {avg or tables}")
+            # eval tables chart as scalars and render as a markdown table in
+            # TB (reference self_engine.py:694-698 + eval_result_to_markdown
+            # :854-861)
+            storage.put_scalars(**{
+                f"eval/{k}": float(v) for k, v in avg.items()
+                if isinstance(v, (int, float))})
+            if tb is not None:
+                from .evaluator import table_to_markdown
+                tb.add_text("eval/tables", table_to_markdown(tables), it + 1)
 
     ckpt.save(state, force=True)
+    for w in writers:
+        getattr(w, "close", lambda: None)()
     return state

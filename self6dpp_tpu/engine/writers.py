@@ -123,6 +123,11 @@ class TensorboardWriter:
         if self.w is not None:
             self.w.add_text(tag, text, step or self.storage.iter)
 
+    def close(self) -> None:
+        if self.w is not None:
+            self.w.flush()
+            self.w.close()
+
 
 def setup_logger(output_dir: str | None = None,
                  level: int = logging.INFO) -> logging.Logger:

@@ -96,3 +96,19 @@ def xyz_to_region(xyz: np.ndarray, fps_pts: np.ndarray,
     if mask is not None:
         region = region * (mask > 0)
     return region
+
+
+def xyz_to_region_batch(xyz: np.ndarray, fps_pts: np.ndarray,
+                        mask: np.ndarray | None = None) -> np.ndarray:
+    """Batched xyz_to_region: xyz (B,h,w,3), fps_pts (B,K,3), mask (B,h,w).
+    One einsum replaces the per-sample python loop in the loader's finish
+    stage (host-throughput item, BENCH_NOTES loader section)."""
+    B, h, w, _ = xyz.shape
+    flat = xyz.reshape(B, -1, 3).astype(np.float32)
+    fps_pts = np.asarray(fps_pts, np.float32)
+    d = np.einsum("bpc,bkc->bpk", flat, -2.0 * fps_pts)
+    d += (fps_pts * fps_pts).sum(-1)[:, None, :]
+    region = d.argmin(axis=2).astype(np.int32).reshape(B, h, w) + 1
+    if mask is not None:
+        region = region * (mask > 0)
+    return region

@@ -98,24 +98,103 @@ def mspd_error(R_est, t_est, R_gt, t_gt, K, pts, sym_rots, sym_valid) -> Array:
     return jnp.where(sym_valid, dmax, jnp.inf).min(axis=-1)
 
 
+def depth_to_dist(depth: Array, K: Array) -> Array:
+    """Depth image -> distance image (misc.depth_im_to_dist_im_fast,
+    lib/pysixd/misc.py:634): multiply each pixel's Z by the norm of its
+    viewing ray. depth (..., H, W); K (..., 3, 3)."""
+    H, W = depth.shape[-2], depth.shape[-1]
+    fx = K[..., 0, 0][..., None, None]
+    fy = K[..., 1, 1][..., None, None]
+    cx = K[..., 0, 2][..., None, None]
+    cy = K[..., 1, 2][..., None, None]
+    xs = jnp.arange(W, dtype=depth.dtype)
+    ys = jnp.arange(H, dtype=depth.dtype)
+    xn = (xs[None, :] - cx) / fx                 # (..., 1|H, W)
+    yn = (ys[:, None] - cy) / fy
+    ray = jnp.sqrt(xn * xn + yn * yn + 1.0)
+    return depth * ray
+
+
 def vsd_error(depth_est: Array, depth_gt: Array, depth_obs: Array,
-              taus=(0.05,), delta: float = 0.015) -> Array:
-    """Visible surface discrepancy (BOP, pose_error.py:22) from pre-rendered
-    depth maps (use ops.rasterizer hard mode): mean over visible pixels of
-    1[|d_est - d_gt| > tau], averaged over taus. depth_* (..., H, W)."""
-    vis_gt = (depth_gt > 0) & (
-        (depth_obs <= 0) | (depth_gt < depth_obs + delta))
-    vis_est = (depth_est > 0) & (
-        (depth_obs <= 0) | (depth_est < depth_obs + delta))
-    vis = vis_gt | vis_est
-    n = jnp.maximum(vis.sum(axis=(-2, -1)), 1)
-    costs = []
+              taus=(0.05,), delta: float = 0.015, K: Array | None = None,
+              diameter: Array | float | None = None) -> Array:
+    """BOP19 Visible Surface Discrepancy (lib/pysixd/pose_error.py:22-128,
+    'step' cost, visib_mode 'bop19' — lib/pysixd/visibility.py:34-37,75-76).
+
+    depth_* (..., H, W): rendered est/gt depths (ops.rasterizer hard mode)
+    and the observed scene depth (zeros when no depth sensor — every
+    rendered pixel then counts visible, exactly what the toolkit computes
+    for d_test=0). Pass K to convert depths to distance images first (the
+    toolkit always does); pass diameter to normalize pixel distances
+    (BOP19 vsd_normalized_by_diameter=True — taus are then fractions of
+    the diameter). Returns (..., len(taus)).
+    """
+    if K is not None:
+        depth_est = depth_to_dist(depth_est, K)
+        depth_gt = depth_to_dist(depth_gt, K)
+        depth_obs = depth_to_dist(depth_obs, K)
+    # visibility masks: object VISIBLE at missing-depth pixels (bop19 mode)
+    visib_gt = (depth_gt > 0) & (
+        ((depth_gt - depth_obs) <= delta) | (depth_obs == 0))
+    ve = (depth_est > 0) & (
+        ((depth_est - depth_obs) <= delta) | (depth_obs == 0))
+    visib_est = ve | (visib_gt & (depth_est > 0))
+    inter = visib_gt & visib_est
+    union = visib_gt | visib_est
+    union_n = union.sum(axis=(-2, -1))
+    comp_n = union_n - inter.sum(axis=(-2, -1))
+    dists = jnp.abs(depth_gt - depth_est)
+    if diameter is not None:
+        dists = dists / jnp.asarray(diameter)[..., None, None]
+    errs = []
     for tau in taus:
-        diff = jnp.abs(depth_est - depth_gt)
-        err = jnp.where(vis_gt & vis_est, (diff > tau).astype(jnp.float32),
-                        1.0)
-        costs.append(jnp.where(vis, err, 0.0).sum(axis=(-2, -1)) / n)
-    return jnp.stack(costs, axis=0).mean(axis=0)
+        costs = ((dists >= tau) & inter).sum(axis=(-2, -1))
+        e = (costs + comp_n) / jnp.maximum(union_n, 1)
+        errs.append(jnp.where(union_n == 0, 1.0, e))
+    return jnp.stack(errs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# BOP19 average-recall aggregation (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+# correctness thresholds (eval_pose_results_more.py:58-70): VSD/MSSD
+# theta in 0.05..0.50 step 0.05 (fractions of error / of diameter);
+# MSPD theta in 5..50 px step 5 after the 640/im_width scaling
+BOP19_TH = tuple(np.arange(0.05, 0.51, 0.05).tolist())
+BOP19_MSPD_TH = tuple(range(5, 51, 5))
+
+
+def bop19_average_recalls(vsd_errs: np.ndarray, mssd_errs: np.ndarray,
+                          mspd_errs: np.ndarray, diameter: float,
+                          im_width: int) -> dict[str, float]:
+    """BOP19 AR scores for one object (SISO matching: one estimate per GT).
+
+    vsd_errs (N, 10): per-tau VSD errors (taus = BOP19_TH fractions of the
+    diameter, vsd_error with diameter normalization); mssd_errs (N,) metres
+    — normalized by the diameter before thresholding
+    (eval_calc_scores.py:70,249-253); mspd_errs (N,) px — scaled by
+    640/im_width (:258). AR_x = mean recall over the threshold grid
+    (× taus for VSD); bop19_ar = their mean (eval_pose_results_more.py:
+    365-371). Returns percentages.
+    """
+    if len(mssd_errs) == 0:
+        return {"ar_vsd": 0.0, "ar_mssd": 0.0, "ar_mspd": 0.0,
+                "bop19_ar": 0.0}
+    v = np.asarray(vsd_errs)
+    ar_vsd = float(np.mean([
+        (v[:, i] < th).mean() for i in range(v.shape[1])
+        for th in BOP19_TH]))
+    mssd_n = np.asarray(mssd_errs) / diameter
+    ar_mssd = float(np.mean([(mssd_n < th).mean() for th in BOP19_TH]))
+    mspd_n = np.asarray(mspd_errs) * 640.0 / im_width
+    ar_mspd = float(np.mean([(mspd_n < th).mean() for th in BOP19_MSPD_TH]))
+    return {
+        "ar_vsd": 100.0 * ar_vsd,
+        "ar_mssd": 100.0 * ar_mssd,
+        "ar_mspd": 100.0 * ar_mspd,
+        "bop19_ar": 100.0 * (ar_vsd + ar_mssd + ar_mspd) / 3.0,
+    }
 
 
 # ---------------------------------------------------------------------------

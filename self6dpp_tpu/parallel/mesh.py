@@ -19,6 +19,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config.base import DistConfig
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None,
+                     local_device_ids=None) -> None:
+    """Multi-host (multi-process) runtime init — the reference covers
+    multi-machine via d2 launch/init_dist over NCCL or Horovod
+    (core/utils/my_comm.py:198-230); here ONE call brings up jax.distributed
+    and every collective rides the same mesh afterwards.
+
+    Must run before any other JAX backend use. On CPU test rigs the
+    cross-process collectives need the gloo backend — set
+    ``jax.config.update("jax_cpu_collectives_implementation", "gloo")``
+    (done automatically here when the platform is cpu).
+    """
+    if num_processes is not None and int(num_processes) <= 1:
+        return
+    import os
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:           # older/newer jaxlib: flag may not exist
+            pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id,
+        local_device_ids=local_device_ids)
+
+
+def maybe_init_distributed_from_args(args) -> None:
+    """CLI hook: ``--dist-coordinator host:port --dist-nprocs N
+    --dist-rank R`` (the d2 ``launch`` analog). No-op when unset."""
+    coord = getattr(args, "dist_coordinator", "")
+    if coord:
+        init_distributed(coord, int(args.dist_nprocs), int(args.dist_rank))
+
+
+def add_distributed_args(parser) -> None:
+    parser.add_argument("--dist-coordinator", default="",
+                        help="host:port of process 0 (multi-host training)")
+    parser.add_argument("--dist-nprocs", default=1, type=int)
+    parser.add_argument("--dist-rank", default=0, type=int)
+
+
 def make_mesh(cfg: DistConfig | None = None, devices=None) -> Mesh:
     cfg = cfg or DistConfig()
     devices = devices if devices is not None else jax.devices()
@@ -67,16 +110,33 @@ def param_sharding_rules(params: Any, mesh: Mesh, cfg: DistConfig | None = None,
 def shard_batch(batch: dict, mesh: Mesh, cfg: DistConfig | None = None,
                 batch_size: int | None = None) -> dict:
     """Place a host batch onto the mesh: batch-major arrays split over the
-    data axis, everything else (per-class mesh tables, scalars) replicated."""
+    data axis, everything else (per-class mesh tables, scalars) replicated.
+
+    Single-process: a plain device_put of the global batch. Multi-process
+    (after init_distributed): each process passes its LOCAL slice of the
+    batch and the global array is assembled via
+    jax.make_array_from_process_local_data — no host ever materializes the
+    global batch (the d2-launch + per-rank-loader pattern of the
+    reference, my_comm.py:198-230 + TrainingSampler sharding)."""
     sh = batch_sharding(mesh, cfg)
     repl = replicated(mesh)
-    arrs = {k: jnp.asarray(v) for k, v in batch.items()}
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        arrs = {k: np.asarray(v) for k, v in batch.items()}
+    else:
+        arrs = {k: jnp.asarray(v) for k, v in batch.items()}
     if batch_size is None:
         if "roi_img" in arrs:
             batch_size = arrs["roi_img"].shape[0]
         else:
             dims = [v.shape[0] for v in arrs.values() if v.ndim > 0]
             batch_size = max(set(dims), key=dims.count) if dims else 0
+    if multiproc:
+        return {
+            k: jax.make_array_from_process_local_data(
+                sh if v.ndim > 0 and v.shape[0] == batch_size else repl, v)
+            for k, v in arrs.items()
+        }
     return {
         k: jax.device_put(
             v, sh if v.ndim > 0 and v.shape[0] == batch_size else repl)

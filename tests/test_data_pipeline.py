@@ -280,6 +280,36 @@ class TestEvaluator:
         md = table_to_markdown(tables)
         assert "ape" in md and "ad_10" in md
 
+    def test_bop19_scores(self, bop_root, models):
+        """evaluate(bop19=True): rendered-depth VSD + sym-aware MSSD/MSPD
+        aggregate to the BOP19 AR table (eval_pose_results_more.py:44-75).
+        Perfect predictions score AR=100; a badly wrong pose scores low."""
+        import dataclasses
+        cfg = tiny_cfg()
+        recs = load_bop_split(bop_root)
+        # frame dims of the synthetic dataset (make_synthetic_bop)
+        meta = dataclasses.replace(get_meta("lm"), width=160, height=120)
+        ds = GDRNDataset(cfg, recs, models, get_meta("lm"), train=False)
+        ev = PoseEvaluator(models, meta)
+        for b in ds.batches(batch_size=4):
+            ev.process(b, {"rot": b["gt_rot"], "trans": b["gt_trans"]})
+        tables = ev.evaluate(bop19=True)
+        for k in ("ar_vsd", "ar_mssd", "ar_mspd", "bop19_ar"):
+            assert tables["avg"][k] == 100.0, (k, tables["avg"])
+        md = table_to_markdown(tables)
+        assert "bop19_ar" in md
+
+        ev2 = PoseEvaluator(models, meta)
+        flip = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+        for b in ds.batches(batch_size=4):
+            bad_r = np.einsum("ij,bjk->bik", flip, b["gt_rot"]).astype(
+                np.float32)
+            bad_t = b["gt_trans"] + np.asarray([0.3, 0.3, 0.5],
+                                               np.float32)
+            ev2.process(b, {"rot": bad_r, "trans": bad_t})
+        t2 = ev2.evaluate(bop19=True)
+        assert t2["avg"]["bop19_ar"] < 50.0, t2["avg"]
+
     def test_noisy_predictions_partial_recall(self, bop_root, models):
         cfg = tiny_cfg()
         recs = load_bop_split(bop_root)

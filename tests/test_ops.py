@@ -310,3 +310,37 @@ class TestLuvYuv:
         img = rng.uniform(0.05, 1, (6, 6, 3)).astype(np.float32)
         ours = np.asarray(color.rgb_to_luv(jnp.asarray(img)))
         np.testing.assert_allclose(ours, rgb2luv(img), atol=0.7)
+
+
+def test_batch_twins_match_single(rng):
+    """The loader finish-stage batch forms (xyz_to_region_batch,
+    compute_vf_np_batch) are element-wise identical to the per-sample
+    functions they replace."""
+    from self6dpp_tpu.ops import fps
+    from self6dpp_tpu.data.loader import compute_vf_np, compute_vf_np_batch
+    from scipy.spatial.transform import Rotation
+
+    B, h, w, Kc = 3, 9, 9, 5
+    xyz = rng.normal(size=(B, h, w, 3)).astype(np.float32) * 0.05
+    centers = rng.normal(size=(B, Kc, 3)).astype(np.float32) * 0.05
+    mask = (rng.random((B, h, w)) > 0.4).astype(np.float32)
+    rb = fps.xyz_to_region_batch(xyz, centers, mask)
+    for i in range(B):
+        np.testing.assert_array_equal(
+            rb[i], fps.xyz_to_region(xyz[i], centers[i], mask[i]))
+
+    f, o = 4, 8
+    fpsb = rng.normal(size=(B, f, 3)).astype(np.float32) * 0.05
+    K = np.broadcast_to(np.asarray(
+        [[120.0, 0, 64], [0, 120.0, 48], [0, 0, 1]], np.float32),
+        (B, 3, 3)).copy()
+    R = Rotation.random(B, random_state=3).as_matrix().astype(np.float32)
+    t = np.asarray([[0.02, -0.01, 0.9]] * B, np.float32)
+    center = rng.uniform(30, 90, (B, 2)).astype(np.float32)
+    scale = rng.uniform(20, 50, (B,)).astype(np.float32)
+    m = (rng.random((B, o, o)) > 0.3).astype(np.float32)
+    vb = compute_vf_np_batch(fpsb, K, R, t, center, scale, o, m)
+    for i in range(B):
+        np.testing.assert_allclose(
+            vb[i], compute_vf_np(fpsb[i], K[i], R[i], t[i], center[i],
+                                 scale[i], o, m[i]), rtol=1e-5, atol=1e-6)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 from scipy.spatial.transform import Rotation
 from scipy import spatial
 
@@ -133,8 +134,51 @@ def test_mspd_zero_same_pose(rng):
 def test_vsd_basic():
     d_gt = jnp.ones((1, 8, 8)) * 1.0
     d_obs = d_gt
-    # same depth -> 0; offset by 0.1 (> tau 0.05) -> high
-    e0 = float(E.vsd_error(d_gt, d_gt, d_obs)[0])
-    e1 = float(E.vsd_error(d_gt + 0.1, d_gt, d_obs)[0])
+    # same depth -> 0; offset by 0.1 (> tau 0.05) -> all-wrong
+    e0 = float(E.vsd_error(d_gt, d_gt, d_obs)[0, 0])
+    e1 = float(E.vsd_error(d_gt + 0.1, d_gt, d_obs)[0, 0])
     assert e0 == 0.0
-    assert e1 > 0.5
+    assert e1 == 1.0
+
+
+def test_depth_to_dist():
+    """dist = depth * |ray| (misc.depth_im_to_dist_im_fast): identity at the
+    principal point, hand-computed off-center."""
+    K = jnp.asarray([[100.0, 0, 1.0], [0, 100.0, 1.0], [0, 0, 1.0]])
+    depth = jnp.full((3, 3), 2.0)
+    dist = E.depth_to_dist(depth, K)
+    assert float(dist[1, 1]) == pytest.approx(2.0)
+    # pixel (0,0): xn = yn = -0.01 -> ray = sqrt(1 + 2e-4)
+    assert float(dist[0, 0]) == pytest.approx(2.0 * np.sqrt(1.0 + 2e-4))
+
+
+def test_vsd_bop19_handcheck():
+    """Exact BOP19 step-cost semantics (pose_error.py:88-128) on a 2x2
+    hand case: visib union 3 px, intersection 2 px, one non-overlap pixel
+    always costs 1."""
+    d_gt = jnp.asarray([[[1.0, 1.0], [0.0, 0.0]]])
+    d_est = jnp.asarray([[[1.0, 1.05], [0.3, 0.0]]])
+    d_obs = jnp.zeros((1, 2, 2))
+    e = E.vsd_error(d_est, d_gt, d_obs, taus=(0.1, 0.04), delta=0.05)
+    assert e.shape == (1, 2)
+    assert float(e[0, 0]) == pytest.approx(1.0 / 3.0)   # tau=0.1: comp only
+    assert float(e[0, 1]) == pytest.approx(2.0 / 3.0)   # tau=0.04: + 1 px
+    # empty union -> 1.0 (pose_error.py:111-112)
+    z = jnp.zeros((1, 2, 2))
+    assert float(E.vsd_error(z, z, z, taus=(0.1,))[0, 0]) == 1.0
+
+
+def test_bop19_average_recalls_handcheck():
+    """AR aggregation over the BOP19 grids, hand-computed."""
+    vsd = np.stack([np.zeros(10), np.ones(10)])          # perfect / all-wrong
+    mssd = np.asarray([0.011, 10.0])                     # m; diam 0.2
+    mspd = np.asarray([4.0, 1000.0])                     # px; width 640
+    s = E.bop19_average_recalls(vsd, mssd, mspd, diameter=0.2, im_width=640)
+    assert s["ar_vsd"] == pytest.approx(50.0)
+    # mssd/diam = [0.055, 50]: th=0.05 fails both, th>=0.10 passes first
+    assert s["ar_mssd"] == pytest.approx(45.0)
+    assert s["ar_mspd"] == pytest.approx(50.0)
+    assert s["bop19_ar"] == pytest.approx((50.0 + 45.0 + 50.0) / 3.0)
+    empty = E.bop19_average_recalls(np.zeros((0, 10)), np.zeros(0),
+                                    np.zeros(0), 0.2, 640)
+    assert empty["bop19_ar"] == 0.0

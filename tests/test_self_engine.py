@@ -371,3 +371,122 @@ def test_pose_geo_synsup_interleave():
             state, m = syn(state, batch, jax.random.PRNGKey(i))
         assert np.isfinite(float(m["total_loss"])), (kind, m)
     assert int(state.step) == 5
+
+
+def test_mode_picker_schedules():
+    """mode_schedule: 'alternate' is a deterministic interleave at the
+    marginal geo ratio; 'random' matches the live reference draw
+    (data_loader_self.py:742-748); fix modes pin."""
+    import dataclasses
+    ss = tiny_cfg().self_sup
+    gen = np.random.default_rng(0)
+
+    alt = se.make_mode_picker(
+        dataclasses.replace(ss, mode_schedule="alternate",
+                            geo_mode_ratio=0.5), gen)
+    assert [alt() for _ in range(6)] == ["pose", "geo"] * 3
+    alt4 = se.make_mode_picker(
+        dataclasses.replace(ss, mode_schedule="alternate",
+                            geo_mode_ratio=0.25), gen)
+    seq = [alt4() for _ in range(8)]
+    assert seq == ["pose", "pose", "pose", "geo"] * 2
+
+    fixg = se.make_mode_picker(
+        dataclasses.replace(ss, mode_schedule="fix_geo"), gen)
+    assert fixg() == "geo"
+    fixp = se.make_mode_picker(
+        dataclasses.replace(ss, mode_schedule="fix_pose",
+                            geo_mode_ratio=0.9), gen)
+    assert fixp() == "pose"
+
+    rnd = se.make_mode_picker(
+        dataclasses.replace(ss, mode_schedule="random",
+                            geo_mode_ratio=0.3), np.random.default_rng(0))
+    draws = [rnd() for _ in range(2000)]
+    assert 0.25 < draws.count("geo") / 2000 < 0.35
+
+    with pytest.raises(ValueError):
+        se.make_mode_picker(dataclasses.replace(ss, mode_schedule="bogus"),
+                            gen)()
+
+
+def test_split_lab_grad_parity():
+    """lab_split_grad: the separately-jitted LAB gradient pass (the fusion
+    cliff escape, BENCH_NOTES.md) must produce the same parameter update and
+    total loss as the in-graph LAB term — gradient of a sum = sum of
+    gradients."""
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg_fused = dataclasses.replace(
+        cfg, self_sup=dataclasses.replace(cfg.self_sup, lab_lw=0.2,
+                                          lab_split_grad=False))
+    cfg_split = dataclasses.replace(
+        cfg, self_sup=dataclasses.replace(cfg.self_sup, lab_lw=0.2,
+                                          lab_split_grad=True))
+    model = ge.build_gdrn(cfg)
+    batch = make_batch(cfg)
+    state = ge.init_state(cfg, model, batch)
+    state2 = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(1), batch["roi_img"],
+                    batch["roi_img"])["params"]
+    rng = jax.random.PRNGKey(0)
+
+    sf = se.jit_self_train_step(cfg_fused, model, lpips)
+    ssp = se.jit_self_train_step(cfg_split, model, lpips)
+    state_f, mf = sf(state, lp, batch, rng)
+    state_s, ms = ssp(state2, lp, batch, rng)
+
+    assert float(mf["loss_color_ab_obj"]) == pytest.approx(
+        float(ms["loss_color_ab_obj"]), rel=1e-5)
+    assert float(mf["total_loss"]) == pytest.approx(
+        float(ms["total_loss"]), rel=1e-5)
+    for pf, ps in zip(jax.tree.leaves(state_f.params),
+                      jax.tree.leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(ps),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_refiner_vars_in_signature():
+    """Refiner variables ride the step call (not the closure) so they get
+    jit sharding/donation treatment (VERDICT r2 weak #6): passing zeroed
+    refiner params must change the refined pose path vs the closure copy."""
+    import dataclasses
+    from self6dpp_tpu.config.base import DeepIMConfig
+    from self6dpp_tpu.engine import deepim_engine as de
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, self_sup=dataclasses.replace(cfg.self_sup,
+                                          refine_with_deepim=True,
+                                          lab_lw=0.0))
+    rcfg = Config(
+        deepim=DeepIMConfig(num_classes=2, input_h=32, input_w=32,
+                            in_channels=8, n_iter_test=2, flow_lw=0.0,
+                            with_flow=False, with_mask_head=False),
+        renderer=cfg.renderer)
+    dmodel = de.build_deepim(rcfg)
+    batch = make_batch(cfg)
+    dinit = {"init_rot": batch["gt_rot"], "init_trans": batch["gt_trans"],
+             "K": batch["roi_zoom_K"]}
+    dstate = de.init_state(rcfg, dmodel, dinit)
+    dvars = {"params": dstate.params}
+    if dstate.batch_stats:
+        dvars["batch_stats"] = dstate.batch_stats
+
+    model = ge.build_gdrn(cfg)
+    state = ge.init_state(cfg, model, batch)
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(1), batch["roi_img"],
+                    batch["roi_img"])["params"]
+    step = jax.jit(se.make_self_train_step(
+        cfg, model, lpips, refiner=(dmodel, dvars, rcfg)))
+    rng = jax.random.PRNGKey(0)
+    # explicit refiner_vars argument is honored
+    _, m_explicit = step(state, lp, batch, rng, dvars)
+    assert np.isfinite(float(m_explicit["total_loss"]))
+    # and actually used: different refiner weights -> different loss
+    dvars2 = jax.tree.map(lambda x: x * 0.5, dvars)
+    _, m_other = step(state, lp, batch, rng, dvars2)
+    assert float(m_other["total_loss"]) != pytest.approx(
+        float(m_explicit["total_loss"]), rel=1e-7)

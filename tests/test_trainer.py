@@ -87,3 +87,33 @@ def test_trainer_nan_guard(tmp_path):
         do_train(cfg, state, bad_step, batches,
                  lambda b: {k: jnp.asarray(v) for k, v in b.items()},
                  resume=False)
+
+
+def test_trainer_periodic_eval_to_tb(tmp_path):
+    """eval_fn fires every test.eval_period iters; tables land in TB as a
+    markdown table and avg scalars chart (reference self_engine.py:694-698,
+    eval_result_to_markdown :854-861)."""
+    import dataclasses
+    from self6dpp_tpu.config.base import TestConfig
+
+    cfg, state, step, batches = _setup(tmp_path, total_iters=6)
+    cfg = dataclasses.replace(cfg, test=TestConfig(eval_period=2),
+                              tensorboard=True)
+    calls = []
+
+    def eval_fn(st):
+        calls.append(int(st.step))
+        return {"ape": {"ad_10": 75.0, "n": 4},
+                "avg": {"ad_10": 75.0, "n": 4}}
+
+    do_train(cfg, state, step, batches,
+             lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+             eval_fn=eval_fn, resume=False)
+    assert calls == [2, 4, 6]
+    tb_dir = tmp_path / "t" / "tb"
+    assert tb_dir.exists() and len(os.listdir(tb_dir)) > 0
+    # the markdown table reached the TB event file
+    import glob
+    blob = b"".join(open(f, "rb").read()
+                    for f in glob.glob(str(tb_dir / "*")))
+    assert b"eval/tables" in blob and b"ad_10" in blob

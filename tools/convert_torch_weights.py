@@ -77,6 +77,7 @@ def convert_lpips(src: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 _ARCH_SPECS = {
     # name: (block kind, depths) — mirrors resnet.py _STAGE_SPECS
+    "micro": ("basic", (1, 1, 1, 1)),     # golden-fixture / test arch
     "resnet18": ("basic", (2, 2, 2, 2)),
     "resnet34": ("basic", (3, 4, 6, 3)),
     "resnet50": ("bottleneck", (3, 4, 6, 3)),
@@ -110,17 +111,20 @@ def resnet_key_map(arch: str) -> dict[str, tuple[str, str]]:
 
     flax_block = {"basic": "BasicBlock", "bottleneck": "Bottleneck",
                   "splat": "Bottleneck"}[kind]
+    widths = (8, 16, 32, 64) if arch == "micro" else (64, 128, 256, 512)
     i = 0
-    for stage, d in enumerate(depths, start=1):
+    cin = 64                               # stem output channels
+    for stage, (w, d) in enumerate(zip(widths, depths), start=1):
+        cout = w if kind == "basic" else w * 4
         for b in range(d):
             t = f"layer{stage}.{b}"
             f = f"{flax_block}_{i}"
             i += 1
             stride = 2 if (b == 0 and stage > 1) else 1
-            # downsample exists when channels change or stride != 1;
-            # channels change at every stage's block 0 for bottlenecks,
-            # only at stages 2-4 for basic blocks
-            has_down = b == 0 and (kind != "basic" or stage > 1)
+            # downsample exists when channels change or stride != 1 (for
+            # micro, stage-1 block 0 changes 64 -> 8 at stride 1)
+            has_down = b == 0 and (stride != 1 or cin != cout)
+            cin = cout
             if kind == "basic":
                 m[f"{t}.conv1"] = ("conv", f"{f}.Conv_0")
                 m[f"{t}.bn1"] = ("bn", f"{f}.BatchNorm_0")

@@ -26,11 +26,16 @@ def parse_args():
                         "(tools/convert_torch_weights.py --kind flownet/"
                         "deepim) loaded over the fresh init")
     p.add_argument("--opts", nargs="*", default=[])
+    from self6dpp_tpu.parallel.mesh import add_distributed_args
+    add_distributed_args(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    # multi-host: must run before any other JAX backend use
+    from self6dpp_tpu.parallel.mesh import maybe_init_distributed_from_args
+    maybe_init_distributed_from_args(args)
     from self6dpp_tpu.config.base import apply_overrides, load_config
     from self6dpp_tpu.engine import deepim_engine as de
     from self6dpp_tpu.engine.trainer import do_train
@@ -100,6 +105,32 @@ def main():
         print(table_to_markdown(ev.evaluate()))
         return
 
+    # periodic in-train eval (reference do_test every EVAL_PERIOD inside
+    # deepim's do_train; tables go to TB as markdown via the trainer)
+    eval_fn = None
+    if cfg.test.eval_period > 0:
+        from self6dpp_tpu.engine.evaluator import PoseEvaluator, run_inference
+        ds_t, models_t, meta_t = build_dataset(cfg, train=False)
+        estep = de.jit_eval_step(cfg, model, mesh=mesh)
+
+        def eval_batches():
+            for raw in ds_t.batches(cfg.solver.ims_per_batch):
+                n = len(raw["gt_rot"])
+                from scipy.spatial.transform import Rotation
+                g = np.random.default_rng(0)       # fixed eval perturbation
+                dR = Rotation.from_euler(
+                    "xyz", g.normal(0, 15, (n, 3)),
+                    degrees=True).as_matrix()
+                raw["init_rot"] = (dR @ raw["gt_rot"]).astype(np.float32)
+                raw["init_trans"] = (raw["gt_trans"] + g.normal(
+                    0, [0.01, 0.01, 0.05], (n, 3))).astype(np.float32)
+                yield raw
+
+        def eval_fn(st):
+            ev = PoseEvaluator(models_t, meta_t)
+            run_inference(estep, st, eval_batches(), ev, to_device=to_device)
+            return ev.evaluate()
+
     if cfg.deepim.n_iter_train_warm_iters > 0:
         # refine-count warmup ramp: one jitted step per count, built lazily
         steps: dict[int, object] = {}
@@ -111,7 +142,8 @@ def main():
             return steps[n](state, batch, rng)
     else:
         step = de.jit_train_step(cfg, model, mesh=mesh)
-    do_train(cfg, state, step, batches, to_device, resume=args.resume)
+    do_train(cfg, state, step, batches, to_device, eval_fn=eval_fn,
+             resume=args.resume)
 
 
 if __name__ == "__main__":

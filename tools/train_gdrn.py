@@ -30,6 +30,8 @@ def parse_args():
                         "(full 'gdrn' tree or 'resnet --prefix backbone' "
                         "partial) loaded over the fresh init")
     p.add_argument("--opts", nargs="*", default=[])
+    from self6dpp_tpu.parallel.mesh import add_distributed_args
+    add_distributed_args(p)
     return p.parse_args()
 
 
@@ -77,6 +79,9 @@ def build_dataset(cfg, train: bool, det_file: str = "",
 
 def main():
     args = parse_args()
+    # multi-host: must run before any other JAX backend use
+    from self6dpp_tpu.parallel.mesh import maybe_init_distributed_from_args
+    maybe_init_distributed_from_args(args)
     from self6dpp_tpu.config.base import apply_overrides, load_config
     from self6dpp_tpu.engine import gdrn_engine as eng
     from self6dpp_tpu.engine.evaluator import (PoseEvaluator, run_inference,
@@ -113,7 +118,11 @@ def main():
         ev = PoseEvaluator(models, meta)
         run_inference(step, state, ds.batches(cfg.solver.ims_per_batch),
                       ev, to_device=lambda b: to_device(b))
-        tables = ev.evaluate()
+        # BOP19 VSD/MSSD/MSPD average recall when the config's error_types
+        # ask for it (reference --error_types ad,proj,rete,vsd,mssd,mspd,
+        # eval_pose_results_more.py:10)
+        bop19 = bool({"vsd", "mssd", "mspd"} & set(cfg.test.error_types))
+        tables = ev.evaluate(bop19=bop19)
         print(table_to_markdown(tables))
         save_bop_csv(
             f"{cfg.output_dir}/{cfg.exp_name}/results-bop.csv",

@@ -30,11 +30,16 @@ def parse_args():
                    help="detections json with pose_est/pose_refine")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--opts", nargs="*", default=[])
+    from self6dpp_tpu.parallel.mesh import add_distributed_args
+    add_distributed_args(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    # multi-host: must run before any other JAX backend use
+    from self6dpp_tpu.parallel.mesh import maybe_init_distributed_from_args
+    maybe_init_distributed_from_args(args)
     from self6dpp_tpu.config.base import apply_overrides, load_config
     from self6dpp_tpu.engine import gdrn_engine as ge
     from self6dpp_tpu.engine import self_engine as se
@@ -143,7 +148,6 @@ def main():
         mesh=mesh)
     geo_step = se.jit_self_geo_train_step(
         cfg, model, ema_update_every=ema_every, mesh=mesh)
-    geo_ratio = ss.geo_mode_ratio
     rng_np = np.random.default_rng(cfg.seed)
 
     # TRAIN2 synthetic-supervised interleave (self_engine.py:409-421)
@@ -159,13 +163,16 @@ def main():
         logger.info(f"TRAIN2 interleave: ratio={train2_ratio} "
                     f"datasets={cfg.data.train2_datasets}")
 
+    next_mode = se.make_mode_picker(ss, rng_np)
+
     def mixed_batches():
         """Per-iteration choice of syn-sup vs self batch and pose/geo mode
-        (self_engine.py:409-421); marker keys route the jitted step."""
+        (self_engine.py:409-421 + data_loader_self.py:742-748 step());
+        marker keys route the jitted step."""
         while True:
             if synsup_step is not None and rng_np.random() < train2_ratio:
                 yield dict(next(batches2), _synsup=np.int32(1))
-            elif geo_ratio > 0 and rng_np.random() < geo_ratio:
+            elif next_mode() == "geo":
                 yield dict(next(batches), _geo=np.int32(1))
             else:
                 yield next(batches)
@@ -215,8 +222,26 @@ def main():
             grid = np.clip(np.concatenate(rows, axis=0), 0, 1)
             storage.tb.add_image("self/roi_ren_pseudomask", grid)
 
+    # periodic in-train eval of the EMA TEACHER — the canonical stage-II
+    # model the reference checkpoints and evaluates (self_engine.py:310-314,
+    # eval tables to TB :694-698)
+    eval_fn = None
+    if cfg.test.eval_period > 0:
+        from self6dpp_tpu.engine.evaluator import PoseEvaluator, run_inference
+        ds_t, models_t, meta_t = build_dataset(cfg, train=False,
+                                               det_file=args.det_file)
+        estep = ge.jit_eval_step(cfg, model, mesh=mesh)
+
+        def eval_fn(st):
+            teacher = st.replace(params=st.ema_params)
+            ev = PoseEvaluator(models_t, meta_t)
+            run_inference(estep, teacher,
+                          ds_t.batches(cfg.solver.ims_per_batch), ev,
+                          to_device=to_device)
+            return ev.evaluate()
+
     do_train(cfg, state, train_step, mixed_batches(), to_device,
-             vis_fn=vis_fn, resume=args.resume)
+             eval_fn=eval_fn, vis_fn=vis_fn, resume=args.resume)
 
 
 if __name__ == "__main__":

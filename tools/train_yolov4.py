@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument("--width", type=float, default=1.0)
     p.add_argument("--depth", type=float, default=1.0)
     p.add_argument("--opts", nargs="*", default=[])
+    from self6dpp_tpu.parallel.mesh import add_distributed_args
+    add_distributed_args(p)
     return p.parse_args()
 
 
@@ -44,6 +46,9 @@ def letterbox(img: np.ndarray, size: int) -> tuple[np.ndarray, float, tuple]:
 
 def main():
     args = parse_args()
+    # multi-host: must run before any other JAX backend use
+    from self6dpp_tpu.parallel.mesh import maybe_init_distributed_from_args
+    maybe_init_distributed_from_args(args)
     from self6dpp_tpu.config.base import apply_overrides, load_config
     from self6dpp_tpu.data.bop import load_bop_split, save_detections
     from self6dpp_tpu.data.ref import get_meta
