@@ -3,8 +3,10 @@
 Headline (BASELINE.json): render-and-compare iters/sec/chip — the full
 Stage-II self-supervised train step (teacher fwd + student fwd + in-graph
 differentiable render + 10-term loss suite + backward through the rasterizer
-+ optimizer + EMA) compiled as ONE XLA graph. Secondary: GDR-Net supervised
-train throughput.
++ optimizer + EMA) through the production jit path (jit_self_train_step),
+compiled per cfg.self_sup.lab_impl — the fastest end-to-end measured escape
+of the LAB fusion cliff (BENCH_NOTES.md "LAB loss compile pathology").
+Secondary: GDR-Net supervised train throughput.
 
 vs_baseline compares against an instrumented estimate of the reference
 (single 2080Ti-era GPU): the reference's stage-II step does a python-side
@@ -50,8 +52,10 @@ def bench_render_and_compare(batch_size: int = 8, iters: int = 20,
     cfg = _flagship_cfg()
     cfg = dataclasses.replace(
         cfg,
+        # lab_lw=0.2 = the reference ssLM recipe (LAB_LW in all 36 configs);
+        # lab_impl rides the SelfSupConfig default (fastest measured mode)
         self_sup=SelfSupConfig(
-            enabled=True, mask_lw=1.0, ms_ssim_lw=1.0, lab_lw=0.1,
+            enabled=True, mask_lw=1.0, ms_ssim_lw=1.0, lab_lw=0.2,
             depth_chamfer_lw=1.0, perceptual_lw=0.15, pseudo_pm_lw=10.0,
             pseudo_trans_lw=1.0),
         # 32px tiles: 2.3x faster kernel; safe for the 1280-face bench mesh
@@ -82,8 +86,7 @@ def bench_render_and_compare(batch_size: int = 8, iters: int = 20,
     lpips = LPIPS()
     lp = jax.jit(lpips.init)(jax.random.PRNGKey(1), batch["roi_img"],
                              batch["roi_img"])["params"]
-    step = jax.jit(se.make_self_train_step(cfg, model, lpips),
-                   donate_argnums=(0,))
+    step = se.jit_self_train_step(cfg, model, lpips)
     rng = jax.random.PRNGKey(0)
 
     state, metrics = step(state, lp, batch, rng)          # compile

@@ -23,7 +23,7 @@ def get_config() -> Config:
             mask_lw=1.0, mask_loss_type="RW_BCE", mask_edge_reweight=True,
             perceptual_lw=0.15, ms_ssim_lw=1.0,
             # all 26 reference ssHB configs set LAB_LW=0.2
-            lab_lw=0.2, lab_split_grad=True,
+            lab_lw=0.2,
             pseudo_pm_lw=10.0,
             ema_teacher=True, ema_decay=0.999,
         ),

@@ -25,11 +25,11 @@ def get_config() -> Config:
             perceptual_lw=0.15,
             ms_ssim_lw=1.0,
             # LAB_LW=0.2 matches the mirrored reference family
-            # (configs/self6dpp/ssLM/ss_v1_..._refinePM10/*_ape.py:146); the
-            # XLA fusion cliff the term used to trigger is sidestepped by
-            # lab_split_grad (its gradient compiles as a separate program)
+            # (configs/self6dpp/ssLM/ss_v1_..._refinePM10/*_ape.py:146).
+            # The term triggers an XLA TPU fusion cliff (~10x step cost,
+            # BENCH_NOTES.md); lab_impl picks the best measured escape —
+            # the SelfSupConfig default tracks the fastest end-to-end mode
             lab_lw=0.2,
-            lab_split_grad=True,
             depth_chamfer_lw=0.0,      # woDepth family; enable for wDepth
             chamfer_dist_thr=0.05,
             pseudo_pm_lw=10.0,         # refinePM10

@@ -25,7 +25,9 @@ from typing import Any
 
 @dataclass(frozen=True)
 class BackboneConfig:
-    name: str = "resnest50d"        # resnet{18,34,50,101}[d] | resnest{26,50}d | darknet53 | flownets | cspdarknet
+    # resnet{18,34,50,101}[d] | resnest{26,50}d | darknet53 | flownets |
+    # cspdarknet | pvnet_resnet{18,34,50}_8s (dilated encoder-decoder)
+    name: str = "resnest50d"
     freeze: bool = False
     pretrained: str = ""            # path to a checkpoint to warm-start from
     input_channels: int = 3
@@ -34,11 +36,15 @@ class BackboneConfig:
 
 @dataclass(frozen=True)
 class GeoHeadConfig:
+    # TopDownMaskXyzRegionHead (+DoubleMask/DoubleVF/MaskNormVF via the
+    # num_masks/with_vf/with_norm flags) | ConvMaskXyzRegionHead |
+    # FPNMaskXyzRegionHead (net_factory.py:80-87)
     name: str = "TopDownMaskXyzRegionHead"
     freeze: bool = False
     up_types: tuple[str, ...] = ("deconv", "bilinear", "bilinear")
     deconv_kernel_size: int = 3
     num_conv_per_block: int = 2
+    num_feat_layers: int = 2        # ConvMaskXyzRegionHead trunk depth
     feat_dim: int = 256
     feat_kernel_size: int = 3
     norm: str = "GN"
@@ -138,6 +144,11 @@ class PoseNetConfig:
     pnp_net: PnPNetConfig = field(default_factory=PnPNetConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     use_mtl: bool = False           # uncertainty multi-task weighting
+    # optional FPN neck between backbone and geo head (gdrn_base.py:47-57,
+    # ENABLED=False in every shipped reference config); "fpn" requires
+    # backbone.out_indices to select the pyramid stages
+    neck: str = "none"              # none | fpn
+    neck_out_channels: int = 256
 
 
 @dataclass(frozen=True)
@@ -147,11 +158,13 @@ class DeepIMConfig:
     The refine loop runs as lax.scan with in-graph re-rendering — one XLA
     graph for all n_iter iterations (vs the reference's python loop with EGL
     round-trips, core/deepim/engine/engine.py:275-365)."""
+    # DeepIM_FlowNet | DeepIM_Shared | DeepIM_Unshared (net_factory.py:99-103)
     name: str = "DeepIM_FlowNet"
     num_classes: int = 13
     input_h: int = 512
     input_w: int = 512
     in_channels: int = 6            # 6 = rgb ren+obs; 8 adds mask channels
+    # flownets, or any ResNetBackbone arch for the Shared/Unshared variants
     backbone: str = "flownets"
     use_bn: bool = False
     flat_op: str = "avg"            # flatten | avg | avg-max | avg-max-min
@@ -326,13 +339,25 @@ class SelfSupConfig:
     ms_ssim_lw: float = 1.0
     lab_lw: float = 0.0
     lab_no_l: bool = True
-    # Compute the LAB term's parameter gradient in a SEPARATELY-JITTED
-    # program (own forward through model+render) and sum gradients at the
-    # top level. The LAB reduction inside the full stage-II graph triggers
-    # an XLA TPU fusion cliff (~10x step cost — BENCH_NOTES.md "LAB loss
-    # compile pathology"); isolating it in its own compiled program keeps
-    # the main step fused at the cost of a second small forward+render.
-    lab_split_grad: bool = True
+    # How the LAB term is computed. ANY formulation that places LAB color
+    # ops in the same XLA program as the model/render graph triggers a TPU
+    # fusion cliff (~10x step cost) — even forward-only pixel math with no
+    # backward (+10 ms on a 1 ms forward). Measured end-to-end, bs=8,
+    # lab_lw=0.2 (BENCH_NOTES.md "LAB loss compile pathology"):
+    #   direct      — in-graph autodiff term:                  ~40 ms/step
+    #   surrogate   — in-graph stop-grad linear re-entry:      ~40 ms/step
+    #   split_grad  — second fwd+render+d(lab)/d(params) jit:  ~64 ms/step
+    #   pixel_split — three programs: LAB-free fwd -> pixel-local LAB
+    #                 (val, d(lab)/d(color)) -> main step whose graph sees
+    #                 only an elementwise cotangent add (exact value AND
+    #                 gradient). Each program is individually fast (fwd
+    #                 1.1 ms, pixel 1.4 ms, main step 6.8 ms — every
+    #                 model-bearing program stays fused), but the 3-program
+    #                 cycle measures ~50 ms on the current tunneled backend:
+    #                 an inter-program overhead that is still unattributed.
+    # Default is the fastest *end-to-end measured* mode; flip to
+    # pixel_split once the chain overhead is understood/fixed.
+    lab_impl: str = "direct"   # direct | surrogate | split_grad | pixel_split
     depth_chamfer_lw: float = 0.0
     chamfer_dist_thr: float = 0.05
     chamfer_center_lw: float = 0.0

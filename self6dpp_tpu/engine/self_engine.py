@@ -141,9 +141,11 @@ def select_pseudo_pose(ss, batch: dict[str, Array],
 def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
                          refiner: tuple | None = None,
                          ema_update_every: int = 1,
-                         split_lab: bool = False):
+                         split_lab: bool = False,
+                         emit_render: bool = False):
     """Returns train_step(state, lpips_params, batch, rng[, refiner_vars,
-    extra_grads]) -> (state, metrics).
+    extra_grads]) -> (state, metrics), or with emit_render
+    -> (state, metrics, (ren_color, pseudo_vis)).
 
     The teacher = state.ema_params (mean teacher, ModelEMA parity).
     refiner: optional (deepim_model, deepim_variables, refiner_cfg) — when
@@ -158,6 +160,11 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
     split_lab: drop the LAB chroma term from this graph; its gradient
     arrives pre-computed via ``extra_grads`` (see make_lab_grad_fn) and is
     summed into the parameter gradients before the optimizer.
+
+    emit_render: additionally return the rendered student color and the
+    teacher pseudo visibility mask (both stop-gradient) — lets consumers
+    (TB image grids, diagnostics) reuse the step's own render instead of
+    paying a second forward.
     """
     import dataclasses
     ss = cfg.self_sup
@@ -179,7 +186,8 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
 
     def train_step(state: TrainState, lpips_params: Any,
                    batch: dict[str, Array], rng: Array,
-                   refiner_vars: Any = None, extra_grads: Any = None):
+                   refiner_vars: Any = None, extra_grads: Any = None,
+                   lab_linear: Any = None):
         rvars = refiner_vars if refiner_vars is not None else default_rvars
         def loss_fn(params):
             variables = {"params": params}
@@ -274,7 +282,8 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
             ren = render_student_pose(cfg, batch, out["rot"], out["trans"])
             ld = compute_self_loss_pose(
                 ss_loss, ren, out, pseudo, batch,
-                lpips_fn=lpips_fn_factory(lpips_params))
+                lpips_fn=lpips_fn_factory(lpips_params),
+                lab_linear=lab_linear)
 
             if ss.repj_refine:
                 # multi-view weak supervision (self_engine.py:549-569)
@@ -303,15 +312,20 @@ def make_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
                     w_miou=ss.repj_miou_lw, w_msssim=ss.repj_msssim_lw))
 
             total = sum(jax.tree.leaves(ld))
-            return total, ld
+            aux = (jax.lax.stop_gradient(ren["color"]),
+                   pseudo_vis) if emit_render else None
+            return total, (ld, aux)
 
-        (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (total, (ld, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         if extra_grads is not None:
             grads = jax.tree.map(jnp.add, grads, extra_grads)
         state = state.apply_gradients(grads)
         state = state.update_ema(decay_fn)
         metrics = dict(ld)
         metrics["total_loss"] = total
+        if emit_render:
+            return state, metrics, aux
         return state, metrics
 
     return train_step
@@ -362,6 +376,79 @@ def make_lab_grad_fn(cfg: Config, model: GDRN):
                                              batch, rng)
 
     return lab_grad
+
+
+def make_lab_fwd_fn(cfg: Config, model: GDRN):
+    """Program 1 of lab_impl="pixel_split": a LAB-free forward that produces
+    the rendered student color and the teacher pseudo visibility mask —
+    byte-identical to what the main step recomputes internally (same params,
+    same rng, train=False throughout, so the model is deterministic).
+
+    Measured (bs=8, TPU): 1.06 ms standalone. Adding even the pixel-local
+    LAB math to THIS program degrades it to 11.1 ms — the cliff triggers
+    whenever LAB ops share a program with the model/render graph, which is
+    why the LAB math lives in its own pixel-only program (make_lab_pixel_fn).
+    CAVEAT: while each of the three programs is individually fast, the full
+    per-step cycle currently measures ~50 ms on the tunneled TPU backend
+    (vs ~40 ms for the in-graph direct term) — an inter-program overhead
+    that is not yet attributed; see BENCH_NOTES.md.
+
+    Returns fwd(params, batch_stats, ema_params, batch, rng) ->
+    (ren_color (B,S,S,3), vis (B,S,S)).
+    """
+    from ..losses.mask_losses import get_mask_prob
+
+    def fwd(params, batch_stats, ema_params, batch, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, *model_inputs(batch), train=False,
+                          rngs={"dropout": rng})
+        tvars = {"params": ema_params}
+        if batch_stats:
+            tvars["batch_stats"] = batch_stats
+        tout = model.apply(tvars, *model_inputs(batch), train=False,
+                           forward_mode="geo")
+        t_prob = get_mask_prob(tout["mask_logits"],
+                               cfg.model.loss.mask_loss_type)[..., 0]
+        vis_lr = (t_prob > 0.5).astype(jnp.float32)
+        s = cfg.model.input_res
+        vis = jax.image.resize(vis_lr, (vis_lr.shape[0], s, s), "nearest")
+        ren = render_student_pose(cfg, batch, out["rot"], out["trans"])
+        return ren["color"], vis
+
+    return fwd
+
+
+def make_lab_pixel_fn(cfg: Config):
+    """Program 2 of lab_impl="pixel_split": pixel-local LAB value and its
+    gradient w.r.t. the rendered color — no model, no render, so the LAB
+    ops can't poison any model-bearing program. Measured 1.38 ms standalone
+    (bs=8, mostly dispatch). The main step then consumes g through a linear
+    term (make_self_train_step's ``lab_linear``), which is exact: the LAB
+    parameter gradient flows only through the rendered color, and g is
+    evaluated at the very color the step recomputes.
+
+    Returns pix(ren_color, roi_img, vis) -> (lab_value, g).
+    """
+    ss = cfg.self_sup
+    from ..ops.color import lab_loss
+
+    def pix(ren_color, roi_img, vis):
+        # differentiate w.r.t. the MASKED prediction: the main step re-enters
+        # the gradient against its shared masked-color pair ren_m (an
+        # existing consumer of the render output) — a raw-color linear term
+        # would add a second unmasked consumer, which alone re-triggers the
+        # cliff ("raw-color variant measured 47 ms/step", losses/self_loss.py)
+        ren_m = ren_color * vis[..., None]
+        img_m = roi_img * vis[..., None]
+
+        def f(rm):
+            return ss.lab_lw * lab_loss(rm, img_m, mask=vis,
+                                        no_l=ss.lab_no_l)
+        return jax.value_and_grad(f)(ren_m)
+
+    return pix
 
 
 def make_self_geo_train_step(cfg: Config, model: GDRN,
@@ -443,39 +530,70 @@ def jit_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
     """Mesh-aware jit of the pose-mode step (state, lpips_params, batch, rng).
 
     Refiner variables ride the jit call explicitly (not the closure) so they
-    get the same sharding/donation treatment as lpips_params. When
-    cfg.self_sup.lab_split_grad and lab_lw>0, the LAB term's gradient runs
-    as a SECOND jitted program whose result feeds the main step's
-    ``extra_grads`` — the fusion-cliff escape (BENCH_NOTES.md)."""
+    get the same sharding/donation treatment as lpips_params. The LAB term
+    is compiled per cfg.self_sup.lab_impl (see SelfSupConfig): the
+    "pixel_split" mode runs a LAB-free forward program and a pixel-only
+    LAB program whose (value, d(lab)/d(color)) feed the main step's
+    ``lab_linear`` input — keeping every model-bearing program fused,
+    though the 3-program cycle currently pays an unattributed
+    inter-program overhead (BENCH_NOTES.md "LAB loss compile
+    pathology")."""
     ss = cfg.self_sup
-    split = ss.lab_split_grad and ss.lab_lw > 0
+    impl = ss.lab_impl if ss.lab_lw > 0 else "direct"
+    if impl not in ("pixel_split", "split_grad", "surrogate", "direct"):
+        raise ValueError(f"unknown lab_impl: {impl!r}")
     step = make_self_train_step(cfg, model, lpips, refiner=refiner,
                                 ema_update_every=ema_update_every,
-                                split_lab=split)
+                                split_lab=impl in ("pixel_split",
+                                                   "split_grad"))
     rvars = refiner[1] if (ss.refine_with_deepim and refiner is not None) \
         else None
     if mesh is None:
         jstep = jax.jit(step, donate_argnums=(0,))
+        data = repl = None
     else:
         from ..parallel.mesh import step_shardings
         st, data, repl = step_shardings(mesh, cfg.dist)
-        jstep = jax.jit(step, in_shardings=(st, repl, data, repl, repl, st),
-                        donate_argnums=(0,))
-    if not split:
+        # lab_linear's sharding is inferred from the side programs' outputs
+        # (val replicated, g data-sharded); None also matches the arg being
+        # absent in the non-pixel_split modes
+        jstep = jax.jit(
+            step,
+            in_shardings=(st, repl, data, repl, repl, st, None),
+            donate_argnums=(0,))
+    if impl in ("direct", "surrogate"):
         return lambda state, lp, batch, rng: jstep(state, lp, batch, rng,
-                                                   rvars, None)
-    # inputs of the LAB program are already committed/sharded (state from
-    # init_state/shard_state, batch from shard_batch) — jit infers
+                                                   rvars, None, None)
+    if impl == "pixel_split":
+        # side programs' inputs are already committed/sharded (state from
+        # init_state/shard_state, batch from shard_batch) — jit infers
+        jfwd = jax.jit(make_lab_fwd_fn(cfg, model))
+        jpix = jax.jit(make_lab_pixel_fn(cfg))
+
+        def combined(state: TrainState, lpips_params: Any,
+                     batch: dict[str, Array], rng: Array):
+            # enqueue the side programs FIRST: the main step donates the
+            # state buffers, and single-device programs run in enqueue order
+            ren_color, vis = jfwd(state.params, state.batch_stats,
+                                  state.ema_params, batch, rng)
+            lab_val, lab_g = jpix(ren_color, batch["roi_img"], vis)
+            return jstep(state, lpips_params, batch, rng, rvars, None,
+                         (lab_val, lab_g))
+
+        return combined
+
+    # impl == "split_grad": LAB's d/d(params) in its own program, summed
+    # into the main step's gradients. Kept for comparison; measured SLOWER
+    # than in-graph (the cliff follows the term into its own program and
+    # the ~300-leaf grad handoff adds dispatch cost).
     jlab = jax.jit(make_lab_grad_fn(cfg, model))
 
     def combined(state: TrainState, lpips_params: Any,
                  batch: dict[str, Array], rng: Array):
-        # enqueue the LAB pass FIRST: the main step donates the state
-        # buffers, and single-device programs execute in enqueue order
         lab_val, lab_grads = jlab(state.params, state.batch_stats,
                                   state.ema_params, batch, rng)
         state, metrics = jstep(state, lpips_params, batch, rng, rvars,
-                               lab_grads)
+                               lab_grads, None)
         metrics["loss_color_ab_obj"] = lab_val
         metrics["total_loss"] = metrics["total_loss"] + lab_val
         return state, metrics

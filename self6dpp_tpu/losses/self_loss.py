@@ -23,13 +23,37 @@ import jax.numpy as jnp
 
 from ..config.base import SelfSupConfig
 from ..ops.chamfer import chamfer_loss
-from ..ops.color import lab_loss
+from ..ops.color import lab_loss, lab_loss_surrogate
 from ..ops.geometry import backproject_depth
 from ..ops.ssim import ms_ssim
 from .mask_losses import soft_dice_loss, weighted_ex_loss_probs
 from .pm_loss import pm_loss
 
 Array = jax.Array
+
+
+@jax.custom_vjp
+def inject_grad(x: Array, g: Array) -> Array:
+    """Identity on ``x`` that adds ``g`` to x's cotangent in the backward.
+
+    Used by lab_impl="pixel_split": the LAB term's image-space gradient
+    (computed in its own pixel-only program) enters the step's backward as
+    one fusable elementwise add on the existing render cotangent — no new
+    loss reduction, no LAB ops, nothing for the TPU fusion pass to trip on
+    (every reduction-shaped re-entry measured 40 ms vs 3.7 ms without;
+    BENCH_NOTES.md "LAB loss compile pathology")."""
+    return x
+
+
+def _inject_grad_fwd(x, g):
+    return x, g
+
+
+def _inject_grad_bwd(g, ct):
+    return (ct + g, None)
+
+
+inject_grad.defvjp(_inject_grad_fwd, _inject_grad_bwd)
 
 
 def _maxpool(x: Array, k: int) -> Array:
@@ -141,6 +165,7 @@ def compute_self_loss_pose(
                                      # sym_rots, sym_valid
     lpips_fn=None,
     max_depth_points: int = 2048,
+    lab_linear: tuple[Array, Array] | None = None,
 ) -> dict[str, Array]:
     loss: dict[str, Array] = {}
     pseudo_vis = pseudo["vis_mask"]                       # (B,S,S)
@@ -166,6 +191,19 @@ def compute_self_loss_pose(
     ren_m = ren["color"] * vis_m
     img_m = batch["roi_img"] * vis_m
 
+    if lab_linear is not None:
+        # lab_impl="pixel_split" (engine/self_engine.py::make_lab_pixel_fn):
+        # the side programs hand in the exact LAB value and
+        # g = lab_lw * d(lab)/d(ren_m). The gradient enters by adding g to
+        # ren_m's backward cotangent (inject_grad) — every downstream
+        # consumer reads the injected tensor, so the render/model backward
+        # receives (other-loss cotangent + g) exactly as if the LAB term
+        # were in-graph, while the graph itself carries no LAB ops and no
+        # extra reduction. The value rides along as a constant.
+        lab_val, lab_g = lab_linear
+        ren_m = inject_grad(ren_m, lab_g)
+        loss["loss_color_ab_obj"] = lab_val
+
     # ---- perceptual -----------------------------------------------------
     if cfg.perceptual_lw > 0 and lpips_fn is not None:
         loss["loss_percep_obj"] = cfg.perceptual_lw * lpips_fn(
@@ -178,12 +216,14 @@ def compute_self_loss_pose(
 
     # ---- LAB chroma -----------------------------------------------------
     if cfg.lab_lw > 0:
-        # NOTE: this term currently triggers an XLA TPU fusion cliff in the
-        # full stage-II graph (~40 ms/step vs ~4 ms without it) that no
-        # formulation avoids — including fused custom-vjp Pallas kernels in
-        # channel-major and NHWC-native layouts. Details + measurements in
-        # BENCH_NOTES.md "LAB loss compile pathology"; lab_lw=0 buys ~10x.
-        loss["loss_color_ab_obj"] = cfg.lab_lw * lab_loss(
+        # NOTE: both in-graph forms trigger an XLA TPU fusion cliff in the
+        # full stage-II graph (~40 ms/step vs ~4 ms without) — see
+        # BENCH_NOTES.md "LAB loss compile pathology". "direct" is still
+        # the fastest END-TO-END measured mode; the multi-program escapes
+        # (pixel_split/split_grad, engine/self_engine.py) bypass this
+        # branch entirely.
+        fn = lab_loss_surrogate if cfg.lab_impl == "surrogate" else lab_loss
+        loss["loss_color_ab_obj"] = cfg.lab_lw * fn(
             ren_m, img_m, mask=pseudo_vis, no_l=cfg.lab_no_l)
 
     # ---- depth chamfer --------------------------------------------------

@@ -99,6 +99,28 @@ def lab_loss(pred_rgb: Array, gt_rgb: Array, mask: Array | None = None,
     return diff.mean() / n_ch
 
 
+def lab_loss_surrogate(pred_rgb: Array, gt_rgb: Array,
+                       mask: Array | None = None, no_l: bool = True) -> Array:
+    """lab_loss with identical value and identical parameter gradient, but a
+    backward graph that looks like a plain elementwise product-sum.
+
+    ``g = d(lab)/d(pred)`` is computed on a stop-gradient side branch
+    (pixel-local color math, disconnected from the model/render backward),
+    and the term re-enters the differentiable graph as ``sum(g * pred)`` —
+    structurally the same consumer shape as an RGB L1, which does NOT
+    trigger the XLA TPU fusion cliff the direct LAB reduction does
+    (BENCH_NOTES.md "LAB loss compile pathology"). Since the LAB gradient
+    w.r.t. parameters flows only through ``pred`` and ``g`` is evaluated at
+    the current ``pred``, the gradient is exact, not approximate.
+    """
+    p = jax.lax.stop_gradient(pred_rgb)
+    val, g = jax.value_and_grad(
+        lambda r: lab_loss(r, gt_rgb, mask=mask, no_l=no_l))(p)
+    g = jax.lax.stop_gradient(g)
+    lin = jnp.sum(g * pred_rgb)
+    return val + (lin - jax.lax.stop_gradient(lin))
+
+
 _YUV = jnp.asarray([
     [0.299, 0.587, 0.114],
     [-0.147, -0.289, 0.436],

@@ -410,19 +410,20 @@ def test_mode_picker_schedules():
                             gen)()
 
 
-def test_split_lab_grad_parity():
-    """lab_split_grad: the separately-jitted LAB gradient pass (the fusion
-    cliff escape, BENCH_NOTES.md) must produce the same parameter update and
-    total loss as the in-graph LAB term — gradient of a sum = sum of
-    gradients."""
+@pytest.mark.parametrize("impl", ["pixel_split", "split_grad", "surrogate"])
+def test_lab_impl_parity(impl):
+    """Every lab_impl mode (SelfSupConfig) must produce the same parameter
+    update, LAB value, and total loss as the in-graph direct term:
+    pixel_split's linear re-entry and split_grad's gradient sum are exact
+    reformulations, not approximations."""
     import dataclasses
     cfg = tiny_cfg()
     cfg_fused = dataclasses.replace(
         cfg, self_sup=dataclasses.replace(cfg.self_sup, lab_lw=0.2,
-                                          lab_split_grad=False))
-    cfg_split = dataclasses.replace(
+                                          lab_impl="direct"))
+    cfg_alt = dataclasses.replace(
         cfg, self_sup=dataclasses.replace(cfg.self_sup, lab_lw=0.2,
-                                          lab_split_grad=True))
+                                          lab_impl=impl))
     model = ge.build_gdrn(cfg)
     batch = make_batch(cfg)
     state = ge.init_state(cfg, model, batch)
@@ -433,7 +434,7 @@ def test_split_lab_grad_parity():
     rng = jax.random.PRNGKey(0)
 
     sf = se.jit_self_train_step(cfg_fused, model, lpips)
-    ssp = se.jit_self_train_step(cfg_split, model, lpips)
+    ssp = se.jit_self_train_step(cfg_alt, model, lpips)
     state_f, mf = sf(state, lp, batch, rng)
     state_s, ms = ssp(state2, lp, batch, rng)
 
