@@ -70,16 +70,21 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     avg_down: bool = False
+    dilation: int = 1       # >1 replaces striding in dilated-8s backbones
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)
         identity = x
+        d = self.dilation
+        pad = ((d, d), (d, d))
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding=_PAD1, use_bias=False, dtype=self.dtype)(x)
+                    padding=pad, kernel_dilation=(d, d),
+                    use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(bn()(y))
-        y = nn.Conv(self.features, (3, 3), padding=_PAD1, use_bias=False, dtype=self.dtype)(y)
+        y = nn.Conv(self.features, (3, 3), padding=pad, kernel_dilation=(d, d),
+                    use_bias=False, dtype=self.dtype)(y)
         y = bn()(y)
         if x.shape[-1] != self.features or self.strides != 1:
             if self.avg_down and self.strides != 1:
@@ -98,6 +103,7 @@ class Bottleneck(nn.Module):
     avg_down: bool = False
     use_splat: bool = False
     radix: int = 2
+    dilation: int = 1       # >1 replaces striding in dilated-8s backbones
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,8 +123,10 @@ class Bottleneck(nn.Module):
                 y = nn.avg_pool(y, (3, 3), strides=(self.strides, self.strides),
                                 padding=_PAD1)
         else:
+            d = self.dilation
             y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                        padding=_PAD1, use_bias=False, dtype=self.dtype)(y)
+                        padding=((d, d), (d, d)), kernel_dilation=(d, d),
+                        use_bias=False, dtype=self.dtype)(y)
             y = nn.relu(bn()(y))
 
         y = nn.Conv(out_c, (1, 1), use_bias=False, dtype=self.dtype)(y)

@@ -73,15 +73,59 @@ class ConvMaskHead(nn.Module):
 
 
 class DeepIM(nn.Module):
+    """The three reference refiner architectures behind one module, selected
+    by DeepIMConfig.name:
+
+      DeepIM_FlowNet  — FlowNetS trunk on concat(ren, obs)
+                        (core/deepim/models/DeepIM_FlowNet.py:34-310);
+      DeepIM_Shared   — one generic CNN backbone on concat(ren, obs)
+                        (core/deepim/models/DeepIM_Shared.py:34-205);
+      DeepIM_Unshared — separate obs / ren backbones, conv features fused by
+                        channel concat for the pose head, mask head on the
+                        obs features (core/deepim/models/DeepIM_Unshared.py:
+                        33-215).
+
+    Shared/Unshared take any ResNetBackbone arch via DeepIMConfig.backbone;
+    their optional flow head is not carried over (no reference config
+    instantiates it — net_factory.py registers them but configs/ contains
+    zero DeepIM_Shared/Unshared entries; the variants exist here for the
+    same reason: architecture-surface parity)."""
     cfg: DeepIMConfig
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         c = self.cfg
-        self.backbone = FlowNetS(
-            in_channels=c.in_channels, use_bn=c.use_bn,
-            out_flow_level="flow4" if c.with_flow else "none",
-            out_concat4=c.with_mask_head, dtype=self.dtype)
+        if c.name == "DeepIM_FlowNet":
+            self.backbone = FlowNetS(
+                in_channels=c.in_channels, use_bn=c.use_bn,
+                out_flow_level="flow4" if c.with_flow else "none",
+                out_concat4=c.with_mask_head, dtype=self.dtype)
+        elif c.name in ("DeepIM_Shared", "DeepIM_Unshared"):
+            if c.with_flow:
+                raise ValueError(
+                    f"{c.name}: with_flow is FlowNet-only (no reference "
+                    "config pairs a flow head with the Shared/Unshared "
+                    "variants)")
+            from .backbones.resnet import ResNetBackbone
+            arch = c.backbone if c.backbone != "flownets" else "resnet18"
+            if c.name == "DeepIM_Shared":
+                # one trunk on the full concat(ren, obs) stack
+                self.backbone = ResNetBackbone(
+                    arch=arch, in_channels=c.in_channels,
+                    out_indices=(4,), dtype=self.dtype)
+            else:
+                # separate obs / ren trunks, each on half the channels
+                assert c.in_channels % 2 == 0, \
+                    "Unshared splits ren|obs channel-wise"
+                half = c.in_channels // 2
+                self.backbone = ResNetBackbone(
+                    arch=arch, in_channels=half, out_indices=(4,),
+                    dtype=self.dtype)
+                self.backbone_ren = ResNetBackbone(
+                    arch=arch, in_channels=half, out_indices=(4,),
+                    dtype=self.dtype)
+        else:
+            raise ValueError(f"unknown DeepIM variant: {c.name!r}")
         rot_dim = 6 if c.rot_type.endswith("rot6d") else 4
         self.pose_head = FCRotTransHead(
             feat_dim=c.pose_feat_dim, num_layers=c.pose_num_layers,
@@ -101,7 +145,27 @@ class DeepIM(nn.Module):
         train: bool = False,
     ) -> dict[str, Array]:
         c = self.cfg
-        conv6, concat4, flow = self.backbone(x, train=train)
+        if c.name == "DeepIM_FlowNet":
+            conv6, concat4, flow = self.backbone(x, train=train)
+        elif c.name == "DeepIM_Shared":
+            conv6 = self.backbone(x, train=train)
+            concat4, flow = conv6, None
+        else:
+            # DeepIM_Unshared: split the engine's input stack
+            # [ren_rgb(3) | obs_rgb(3) | ren_mask(1) | obs_mask(1)]
+            # (deepim_engine.py::render_and_zoom) back into per-stream inputs
+            if c.in_channels == 8:
+                x_ren = jnp.concatenate([x[..., 0:3], x[..., 6:7]], axis=-1)
+                x_obs = jnp.concatenate([x[..., 3:6], x[..., 7:8]], axis=-1)
+            else:
+                half = c.in_channels // 2
+                x_ren, x_obs = x[..., :half], x[..., half:]
+            feat_ren = self.backbone_ren(x_ren, train=train)
+            feat_obs = self.backbone(x_obs, train=train)
+            conv6 = jnp.concatenate([feat_obs, feat_ren], axis=-1)
+            # mask is predicted from the OBS features only
+            # (DeepIM_Unshared.py:114-121)
+            concat4, flow = feat_obs, None
 
         b = conv6.shape[0]
         flat = conv6.reshape(b, -1, conv6.shape[-1])

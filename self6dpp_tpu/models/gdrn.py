@@ -40,6 +40,16 @@ class GDRN(nn.Module):
             self.backbone = DarknetBackbone(
                 out_indices=tuple(i + 1 for i in c.backbone.out_indices),
                 dtype=self.dtype)
+        elif c.backbone.name.startswith("pvnet_"):
+            # pvnet_resnet{18,34,50}_8s (net_factory.py:40-43): dilated-8s
+            # encoder-decoder; paired with the plain-conv geo head and the
+            # decoder stopped at output_res's stride (backbones/pvnet.py)
+            from .backbones.pvnet import PVNetResNet8s
+            arch = c.backbone.name[len("pvnet_"):].removesuffix("_8s")
+            self.backbone = PVNetResNet8s(
+                arch=arch, in_channels=c.backbone.input_channels,
+                out_stride=max(1, c.input_res // c.output_res),
+                dtype=self.dtype)
         else:
             self.backbone = ResNetBackbone(
                 arch=c.backbone.name,
@@ -47,8 +57,28 @@ class GDRN(nn.Module):
                 out_indices=tuple(c.backbone.out_indices),
                 dtype=self.dtype,
             )
-        self.geo_head = TopDownGeoHead(cfg=c.geo_head, num_classes=c.num_classes,
+        if c.neck not in ("none", "fpn"):
+            raise ValueError(f"unknown neck: {c.neck!r}")
+        from .necks import FPN
+        self.neck = (FPN(out_channels=c.neck_out_channels, dtype=self.dtype)
+                     if c.neck == "fpn" else None)
+        gh_name = c.geo_head.name
+        if gh_name == "FPNMaskXyzRegionHead":
+            from .heads.top_down_head import FPNGeoHead
+            strides = tuple(2 ** (i + 1) for i in c.backbone.out_indices)
+            self.geo_head = FPNGeoHead(cfg=c.geo_head,
+                                       num_classes=c.num_classes,
+                                       feature_strides=strides,
                                        dtype=self.dtype)
+        elif gh_name == "ConvMaskXyzRegionHead":
+            from .heads.top_down_head import ConvGeoHead
+            self.geo_head = ConvGeoHead(cfg=c.geo_head,
+                                        num_classes=c.num_classes,
+                                        dtype=self.dtype)
+        else:
+            self.geo_head = TopDownGeoHead(cfg=c.geo_head,
+                                           num_classes=c.num_classes,
+                                           dtype=self.dtype)
         rot_dim = 6 if c.pnp_net.rot_type.endswith("rot6d") else 4
         pnp_cls = {"ConvPnPNet": ConvPnPNet,
                    # same conv trunk; vf/norm maps join its input channels
@@ -72,7 +102,20 @@ class GDRN(nn.Module):
         c = self.cfg
         gh = c.geo_head
         feat = self.backbone(roi_img, train=train)
-        maps = self.geo_head(feat, train=train)
+        if self.neck is not None:
+            feat = self.neck(list(feat) if isinstance(feat, (list, tuple))
+                             else [feat])
+        if gh.name == "FPNMaskXyzRegionHead":
+            assert isinstance(feat, (list, tuple)), \
+                "FPN head needs backbone.out_indices selecting a pyramid"
+            maps = self.geo_head(list(feat), train=train)
+        else:
+            if isinstance(feat, (list, tuple)):
+                # top-down consumes the coarsest level (its up-blocks bring
+                # it to output_res); the plain conv head the finest
+                feat = feat[0] if gh.name == "ConvMaskXyzRegionHead" \
+                    else feat[-1]
+            maps = self.geo_head(feat, train=train)
         maps = gather_class_aware(maps, gh, c.num_classes, roi_cls)
 
         out: dict[str, Array] = {}

@@ -85,11 +85,15 @@ class ConvPnPNet(nn.Module):
             raise ValueError(f"unknown flat_op: {c.flat_op}")
 
         if c.with_extent_feat and extents is not None:
-            # ConvPnPNetCls-style explicit extent feature (conv_pnp_net_cls.py:
-            # with_extent_feat) — a small MLP embedding of the object size
-            ext = act(nn.Dense(64, dtype=self.dtype, name="fc_extent",
+            # ConvPnPNetCls-style explicit extent feature: the two-layer
+            # 3->64->128 object-size embedding (conv_pnp_net_cls.py:102-103,
+            # 173-174)
+            ext = act(nn.Dense(64, dtype=self.dtype, name="fc_extent1",
                                kernel_init=nn.initializers.normal(0.001))(
                 extents))
+            ext = act(nn.Dense(128, dtype=self.dtype, name="fc_extent2",
+                               kernel_init=nn.initializers.normal(0.001))(
+                ext))
             feat = jnp.concatenate([feat, ext], axis=-1)
 
         feat = act(nn.Dense(1024, dtype=self.dtype,

@@ -141,3 +141,47 @@ def test_warm_n_iter_ramp():
     # disabled ramp: always full count
     d0 = dataclasses.replace(d, n_iter_train_warm_iters=0)
     assert warm_n_iter(d0, 0) == 4
+
+
+@pytest.mark.parametrize("variant,in_ch", [("DeepIM_Shared", 6),
+                                           ("DeepIM_Unshared", 8)])
+def test_shared_unshared_variants(variant, in_ch):
+    """DeepIM_Shared (one CNN trunk on concat(ren,obs), DeepIM_Shared.py:
+    34-205) and DeepIM_Unshared (separate obs/ren trunks fused by feature
+    concat, DeepIM_Unshared.py:33-215) refine through the same lax.scan
+    loop as the FlowNet variant."""
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, deepim=dataclasses.replace(
+            cfg.deepim, name=variant, backbone="micro", in_channels=in_ch,
+            with_flow=False, flow_lw=0.0, with_mask_head=True))
+    model = de.build_deepim(cfg)
+    batch = make_batch()
+    if in_ch == 8:
+        # the 8-channel stack adds ren/obs mask planes (render_and_zoom)
+        batch["obs_mask"] = jnp.ones((2, 64, 64), jnp.float32)
+    state = de.init_state(cfg, model, batch)
+    b = 2
+    x = jnp.zeros((b, 64, 64, in_ch))
+    out = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats}
+                      if state.batch_stats else {"params": state.params},
+                      x, batch["init_rot"], batch["init_trans"], batch["K"])
+    assert out["rot"].shape == (b, 3, 3)
+    assert out["trans"].shape == (b, 3)
+    assert "flow" not in out
+    assert out["mask_logits"].shape == (b, 64, 64, 1)
+    eye = np.asarray(jnp.swapaxes(out["rot"], -1, -2) @ out["rot"])
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (b, 3, 3)),
+                               atol=1e-4)
+    # the refine loop runs end-to-end with in-graph rendering
+    refine = de.make_refine_fn(cfg, model, n_iter=2)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    rot, trans = refine(variables, batch, batch["init_rot"],
+                        batch["init_trans"])
+    assert rot.shape == (b, 3, 3) and trans.shape == (b, 3)
+    assert np.isfinite(np.asarray(rot)).all()
+    assert np.isfinite(np.asarray(trans)).all()

@@ -297,3 +297,68 @@ def test_simple_point_pnp_variant():
         eye = np.asarray(jnp.einsum("bij,bkj->bik", out["rot"], out["rot"]))
         np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (2, 3, 3)),
                                    atol=1e-4)
+
+
+def _run_gdrn(m):
+    model = GDRN(cfg=m)
+    batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(
+        Config(model=m), 2, input_res=64, output_res=16,
+        n_points=64).items()}
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["roi_img"], batch["roi_cls"],
+        batch["roi_cam"], batch["roi_center"], batch["roi_wh"],
+        batch["roi_extent"], batch["resize_ratio"], batch["roi_coord_2d"])
+    out = model.apply(
+        variables, batch["roi_img"], batch["roi_cls"], batch["roi_cam"],
+        batch["roi_center"], batch["roi_wh"], batch["roi_extent"],
+        batch["resize_ratio"], batch["roi_coord_2d"])
+    assert out["rot"].shape == (2, 3, 3)
+    assert out["coor"].shape == (2, 16, 16, 3)
+    assert out["mask_logits"].shape == (2, 16, 16, 1)
+    eye = np.asarray(jnp.einsum("bij,bkj->bik", out["rot"], out["rot"]))
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (2, 3, 3)),
+                               atol=1e-4)
+    return out
+
+
+def test_pvnet_backbone_conv_head():
+    """pvnet_*_8s dilated encoder-decoder backbone (model_repository.py)
+    paired with the plain-conv geo head (conv_mask_xyz_region_head.py):
+    the decoder stops at output_res's stride so the dense maps land at
+    output_res directly."""
+    cfg = tiny_cfg()
+    m = dataclasses.replace(
+        cfg.model,
+        backbone=BackboneConfig(name="pvnet_micro_8s"),
+        geo_head=dataclasses.replace(cfg.model.geo_head,
+                                     name="ConvMaskXyzRegionHead",
+                                     num_feat_layers=1, feat_dim=32))
+    _run_gdrn(m)
+
+
+def test_fpn_neck_and_head():
+    """FPN neck (gdrn_base.py:47-57) + Semantic-FPN geo head
+    (fpn_mask_xyz_region_head.py:139-306): pyramid from backbone stages
+    1-4, per-level scale heads summed at stride 4 = output_res."""
+    cfg = tiny_cfg()
+    m = dataclasses.replace(
+        cfg.model,
+        backbone=BackboneConfig(name="micro", out_indices=(1, 2, 3, 4)),
+        neck="fpn", neck_out_channels=32,
+        geo_head=dataclasses.replace(cfg.model.geo_head,
+                                     name="FPNMaskXyzRegionHead",
+                                     feat_dim=32))
+    _run_gdrn(m)
+
+
+def test_conv_head_on_fpn_level():
+    """ConvMaskXyzRegionHead consuming the finest FPN level."""
+    cfg = tiny_cfg()
+    m = dataclasses.replace(
+        cfg.model,
+        backbone=BackboneConfig(name="micro", out_indices=(1, 2, 3, 4)),
+        neck="fpn", neck_out_channels=32,
+        geo_head=dataclasses.replace(cfg.model.geo_head,
+                                     name="ConvMaskXyzRegionHead",
+                                     num_feat_layers=1, feat_dim=32))
+    _run_gdrn(m)
