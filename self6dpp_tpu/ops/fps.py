@@ -106,7 +106,10 @@ def xyz_to_region_batch(xyz: np.ndarray, fps_pts: np.ndarray,
     B, h, w, _ = xyz.shape
     flat = xyz.reshape(B, -1, 3).astype(np.float32)
     fps_pts = np.asarray(fps_pts, np.float32)
-    d = np.einsum("bpc,bkc->bpk", flat, -2.0 * fps_pts)
+    # np.matmul dispatches to batched BLAS sgemm; np.einsum on 3-D operands
+    # falls back to a C loop ~1.5x slower end-to-end (measured in the
+    # loader bench — BENCH_NOTES loader section)
+    d = flat @ (-2.0 * fps_pts.transpose(0, 2, 1))
     d += (fps_pts * fps_pts).sum(-1)[:, None, :]
     region = d.argmin(axis=2).astype(np.int32).reshape(B, h, w) + 1
     if mask is not None:
