@@ -123,12 +123,16 @@ def bench_gdrn_train(batch_size: int = 24, iters: int = 20) -> float:
 def main():
     import sys
     dense = "--dense" in sys.argv
-    rnc = bench_render_and_compare(dense=dense)
+    bs = 8
+    if "--bs" in sys.argv:
+        bs = int(sys.argv[sys.argv.index("--bs") + 1])
+    rnc = bench_render_and_compare(batch_size=bs, dense=dense)
     result = {
         "metric": "render_and_compare_iters_per_sec_per_chip"
-                  + ("_dense5120f" if dense else ""),
+                  + ("_dense5120f" if dense else "")
+                  + (f"_bs{bs}" if bs != 8 else ""),
         "value": round(rnc, 3),
-        "unit": "iters/sec (bs=8 stage-II self-sup step)",
+        "unit": f"iters/sec (bs={bs} stage-II self-sup step)",
         "vs_baseline": round(rnc / _REFERENCE_RNC_ITERS_PER_SEC, 2),
     }
     print(json.dumps(result))

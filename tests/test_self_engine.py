@@ -491,3 +491,32 @@ def test_refiner_vars_in_signature():
     _, m_other = step(state, lp, batch, rng, dvars2)
     assert float(m_other["total_loss"]) != pytest.approx(
         float(m_explicit["total_loss"]), rel=1e-7)
+
+
+def test_emit_render_aux():
+    """emit_render returns the step's own rendered student color and pseudo
+    visibility (for TB grids / the pixel-only LAB program) without changing
+    the training result."""
+    cfg = tiny_cfg()
+    model = ge.build_gdrn(cfg)
+    batch = make_batch(cfg)
+    state = ge.init_state(cfg, model, batch)
+    state2 = jax.tree.map(jnp.copy, state)
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(1), batch["roi_img"],
+                    batch["roi_img"])["params"]
+    rng = jax.random.PRNGKey(0)
+
+    plain = jax.jit(se.make_self_train_step(cfg, model, lpips))
+    emit = jax.jit(se.make_self_train_step(cfg, model, lpips,
+                                           emit_render=True))
+    s1, m1 = plain(state, lp, batch, rng)
+    s2, m2, (ren_color, vis) = emit(state2, lp, batch, rng)
+    b, s = 2, cfg.model.input_res
+    assert ren_color.shape == (b, s, s, 3)
+    assert vis.shape == (b, s, s)
+    assert set(np.unique(np.asarray(vis))) <= {0.0, 1.0}
+    assert float(m1["total_loss"]) == pytest.approx(float(m2["total_loss"]),
+                                                    rel=1e-6)
+    for a, c in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
