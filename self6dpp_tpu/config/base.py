@@ -355,9 +355,14 @@ class SelfSupConfig:
     #                 model-bearing program stays fused), but the 3-program
     #                 cycle measures ~50 ms on the current tunneled backend:
     #                 an inter-program overhead that is still unattributed.
-    # Default is the fastest *end-to-end measured* mode; flip to
-    # pixel_split once the chain overhead is understood/fixed.
-    lab_impl: str = "direct"   # direct | surrogate | split_grad | pixel_split
+    #   pallas      — in-graph, but the whole LAB (value, d/d(color))
+    #                 computation is ONE fused Pallas kernel, opaque to the
+    #                 fusion pass; the gradient re-enters via the same
+    #                 cotangent add as pixel_split (ops/lab_pallas.py).
+    #                 Single program, exact; TPU timing pending.
+    # Default is the fastest *end-to-end measured* mode; flip once a
+    # faster mode is measured end-to-end.
+    lab_impl: str = "direct"   # direct|surrogate|split_grad|pixel_split|pallas
     depth_chamfer_lw: float = 0.0
     chamfer_dist_thr: float = 0.05
     chamfer_center_lw: float = 0.0

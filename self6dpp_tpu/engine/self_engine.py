@@ -540,7 +540,8 @@ def jit_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
     pathology")."""
     ss = cfg.self_sup
     impl = ss.lab_impl if ss.lab_lw > 0 else "direct"
-    if impl not in ("pixel_split", "split_grad", "surrogate", "direct"):
+    if impl not in ("pixel_split", "split_grad", "surrogate", "direct",
+                    "pallas"):
         raise ValueError(f"unknown lab_impl: {impl!r}")
     step = make_self_train_step(cfg, model, lpips, refiner=refiner,
                                 ema_update_every=ema_update_every,
@@ -561,7 +562,7 @@ def jit_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
             step,
             in_shardings=(st, repl, data, repl, repl, st, None),
             donate_argnums=(0,))
-    if impl in ("direct", "surrogate"):
+    if impl in ("direct", "surrogate", "pallas"):
         return lambda state, lp, batch, rng: jstep(state, lp, batch, rng,
                                                    rvars, None, None)
     if impl == "pixel_split":

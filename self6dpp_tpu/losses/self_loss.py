@@ -203,6 +203,18 @@ def compute_self_loss_pose(
         lab_val, lab_g = lab_linear
         ren_m = inject_grad(ren_m, lab_g)
         loss["loss_color_ab_obj"] = lab_val
+    elif cfg.lab_lw > 0 and cfg.lab_impl == "pallas":
+        # Same injection contract, but (value, g) come from ONE in-graph
+        # fused Pallas kernel (ops/lab_pallas.py) instead of side programs —
+        # the LAB math is opaque to the fusion pass and the gradient enters
+        # as the same elementwise cotangent add. Must run here, BEFORE the
+        # other image losses consume ren_m, so every downstream consumer
+        # reads the injected tensor.
+        from ..ops.lab_pallas import lab_value_grad_pallas
+        lab_val, lab_g = lab_value_grad_pallas(
+            ren_m, img_m, pseudo_vis, no_l=cfg.lab_no_l)
+        ren_m = inject_grad(ren_m, cfg.lab_lw * lab_g)
+        loss["loss_color_ab_obj"] = cfg.lab_lw * lab_val
 
     # ---- perceptual -----------------------------------------------------
     if cfg.perceptual_lw > 0 and lpips_fn is not None:
@@ -214,15 +226,16 @@ def compute_self_loss_pose(
         loss["loss_ms_ssim"] = cfg.ms_ssim_lw * (
             1.0 - ms_ssim(img_m, ren_m))
 
-    # ---- LAB chroma -----------------------------------------------------
-    if cfg.lab_lw > 0:
-        # NOTE: both in-graph forms trigger an XLA TPU fusion cliff in the
-        # full stage-II graph (~40 ms/step vs ~4 ms without) — see
-        # BENCH_NOTES.md "LAB loss compile pathology". "direct" is still
-        # the fastest END-TO-END measured mode; the multi-program escapes
-        # (pixel_split/split_grad, engine/self_engine.py) bypass this
-        # branch entirely.
-        fn = lab_loss_surrogate if cfg.lab_impl == "surrogate" else lab_loss
+    # ---- LAB chroma (jnp in-graph forms) --------------------------------
+    if cfg.lab_lw > 0 and cfg.lab_impl != "pallas":
+        # NOTE: these jnp forms trigger an XLA TPU fusion cliff in the full
+        # stage-II graph (~40 ms/step vs ~4 ms without) — see BENCH_NOTES.md
+        # "LAB loss compile pathology". The multi-program escapes
+        # (pixel_split/split_grad, engine/self_engine.py) bypass this branch
+        # entirely; the opaque-kernel "pallas" form runs above, before the
+        # other image losses consume ren_m.
+        fn = (lab_loss_surrogate if cfg.lab_impl == "surrogate"
+              else lab_loss)
         loss["loss_color_ab_obj"] = cfg.lab_lw * fn(
             ren_m, img_m, mask=pseudo_vis, no_l=cfg.lab_no_l)
 

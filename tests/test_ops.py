@@ -344,3 +344,37 @@ def test_batch_twins_match_single(rng):
         np.testing.assert_allclose(
             vb[i], compute_vf_np(fpsb[i], K[i], R[i], t[i], center[i],
                                  scale[i], o, m[i]), rtol=1e-5, atol=1e-6)
+
+
+class TestLabPallas:
+    """ops/lab_pallas.py: the fused LAB (value, gradient) kernel must match
+    jax autodiff of ops/color.py::lab_loss exactly (interpret mode on CPU)."""
+
+    @pytest.mark.parametrize("no_l", [True, False])
+    def test_value_and_grad_parity(self, no_l):
+        from self6dpp_tpu.ops.lab_pallas import lab_value_grad_pallas
+        rng = np.random.default_rng(0)
+        B, S = 2, 16
+        pred = jnp.asarray(rng.random((B, S, S, 3)), jnp.float32)
+        gt = jnp.asarray(rng.random((B, S, S, 3)), jnp.float32)
+        mask = jnp.asarray((rng.random((B, S, S)) > 0.4), jnp.float32)
+        # masked inputs like the engine's (ren_m, img_m, vis) triple
+        pm = pred * mask[..., None]
+        gm = gt * mask[..., None]
+
+        ref_val, ref_g = jax.value_and_grad(
+            lambda x: color.lab_loss(x, gm, mask=mask, no_l=no_l))(pm)
+        val, g = lab_value_grad_pallas(pm, gm, mask, no_l=no_l,
+                                       interpret=True)
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_empty_mask(self):
+        from self6dpp_tpu.ops.lab_pallas import lab_value_grad_pallas
+        B, S = 1, 8
+        z = jnp.zeros((B, S, S, 3), jnp.float32)
+        val, g = lab_value_grad_pallas(z, z, jnp.zeros((B, S, S)),
+                                       interpret=True)
+        assert float(val) == 0.0
+        assert not np.asarray(jnp.isnan(g)).any()

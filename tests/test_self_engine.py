@@ -410,12 +410,14 @@ def test_mode_picker_schedules():
                             gen)()
 
 
-@pytest.mark.parametrize("impl", ["pixel_split", "split_grad", "surrogate"])
+@pytest.mark.parametrize("impl", ["pixel_split", "split_grad", "surrogate",
+                                  "pallas"])
 def test_lab_impl_parity(impl):
     """Every lab_impl mode (SelfSupConfig) must produce the same parameter
     update, LAB value, and total loss as the in-graph direct term:
-    pixel_split's linear re-entry and split_grad's gradient sum are exact
-    reformulations, not approximations."""
+    pixel_split's linear re-entry, split_grad's gradient sum, and the
+    fused-kernel pallas form are exact reformulations, not
+    approximations."""
     import dataclasses
     cfg = tiny_cfg()
     cfg_fused = dataclasses.replace(
