@@ -555,12 +555,15 @@ def jit_self_train_step(cfg: Config, model: GDRN, lpips: LPIPS | None = None,
     else:
         from ..parallel.mesh import step_shardings
         st, data, repl = step_shardings(mesh, cfg.dist)
-        # lab_linear's sharding is inferred from the side programs' outputs
-        # (val replicated, g data-sharded); None also matches the arg being
-        # absent in the non-pixel_split modes
+        # batch sharding is INFERRED from the committed arrays (shard_batch
+        # data-shards batch-major leaves and replicates the per-class mesh
+        # tables — a blanket 'data' spec here would wrongly force the C-major
+        # tables onto the data axis). lab_linear: inferred from the side
+        # programs' outputs; None also matches the arg being absent in the
+        # non-pixel_split modes.
         jstep = jax.jit(
             step,
-            in_shardings=(st, repl, data, repl, repl, st, None),
+            in_shardings=(st, repl, None, repl, repl, st, None),
             donate_argnums=(0,))
     if impl in ("direct", "surrogate", "pallas"):
         return lambda state, lp, batch, rng: jstep(state, lp, batch, rng,
@@ -610,7 +613,9 @@ def jit_self_geo_train_step(cfg: Config, model: GDRN,
         return jax.jit(step, donate_argnums=(0,))
     from ..parallel.mesh import step_shardings
     st, data, repl = step_shardings(mesh, cfg.dist)
-    return jax.jit(step, in_shardings=(st, data, repl), donate_argnums=(0,))
+    # batch shardings inferred from the committed arrays (see
+    # jit_self_train_step: mesh tables are replicated, not data-sharded)
+    return jax.jit(step, in_shardings=(st, None, repl), donate_argnums=(0,))
 
 
 def jit_synsup_train_step(cfg: Config, model: GDRN,
@@ -621,7 +626,9 @@ def jit_synsup_train_step(cfg: Config, model: GDRN,
         return jax.jit(step, donate_argnums=(0,))
     from ..parallel.mesh import step_shardings
     st, data, repl = step_shardings(mesh, cfg.dist)
-    return jax.jit(step, in_shardings=(st, data, repl), donate_argnums=(0,))
+    # batch shardings inferred from the committed arrays (see
+    # jit_self_train_step: mesh tables are replicated, not data-sharded)
+    return jax.jit(step, in_shardings=(st, None, repl), donate_argnums=(0,))
 
 
 def make_synsup_train_step(cfg: Config, model: GDRN,
