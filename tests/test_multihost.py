@@ -28,8 +28,9 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(300)
 def test_two_process_cpu_mesh():
+    # bounded by the communicate(timeout=240) below; pytest-timeout is not
+    # installed in this environment
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)          # worker sets its own 4-device count
