@@ -148,12 +148,18 @@ def lab_value_grad_pallas(pred_rgb: Array, gt_rgb: Array, mask: Array,
     m = jax.lax.stop_gradient(mask)
     chans = [p[..., k].reshape(B, n) for k in range(3)]
     gchans = [gt[..., k].reshape(B, n) for k in range(3)]
-    bs = pl.BlockSpec((1, n), lambda i: (i, 0))
+    # blocks span the full batch in the sublanes (B rows) and a lane chunk
+    # of pixels; grid walks the pixel axis. ~10 live blocks x B x CHUNK x 4B
+    # stays well under VMEM while using all 8 sublanes.
+    chunk = min(n, 8192)
+    while n % chunk:
+        chunk //= 2    # n = S*S; terminates (chunk=1 divides anything)
+    bs = pl.BlockSpec((B, chunk), lambda i: (0, i))
     sc = pl.BlockSpec((1, 1), lambda i: (0, 0))
     f32 = jnp.float32
     val_raw, msum, gr, gg, gb = pl.pallas_call(
         functools.partial(_kernel, no_l),
-        grid=(B,),
+        grid=(n // chunk,),
         in_specs=[bs] * 6 + [bs],
         out_specs=[sc, sc, bs, bs, bs],
         out_shape=[jax.ShapeDtypeStruct((1, 1), f32),
