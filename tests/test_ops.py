@@ -378,3 +378,19 @@ class TestLabPallas:
                                        interpret=True)
         assert float(val) == 0.0
         assert not np.asarray(jnp.isnan(g)).any()
+
+    def test_multi_chunk_grid(self):
+        """Grid > 1 (lane-chunk walk) must accumulate val/msum correctly."""
+        from self6dpp_tpu.ops.lab_pallas import lab_value_grad_pallas
+        rng = np.random.default_rng(1)
+        B, S = 2, 128                      # n=16384 -> chunk 8192, grid 2
+        pred = jnp.asarray(rng.random((B, S, S, 3)), jnp.float32)
+        gt = jnp.asarray(rng.random((B, S, S, 3)), jnp.float32)
+        mask = jnp.asarray((rng.random((B, S, S)) > 0.5), jnp.float32)
+        pm, gm = pred * mask[..., None], gt * mask[..., None]
+        ref_val, ref_g = jax.value_and_grad(
+            lambda x: color.lab_loss(x, gm, mask=mask))(pm)
+        val, g = lab_value_grad_pallas(pm, gm, mask, interpret=True)
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g),
+                                   rtol=1e-4, atol=1e-6)
