@@ -120,8 +120,33 @@ def bench_gdrn_train(batch_size: int = 24, iters: int = 20) -> float:
     return batch_size * iters / dt
 
 
+def _devices_or_die(timeout_s: int = 480):
+    """Probe backend init in a SUBPROCESS with a hard timeout: a dead TPU
+    tunnel makes jax.devices() hang forever in native code (observed:
+    multi-hour axon outages; SIGALRM cannot interrupt it), so probe in a
+    child and emit one diagnostic JSON line on failure instead of hanging
+    the driver. Costs one extra ~15 s init when the backend is healthy;
+    compiles afterwards may legitimately take 10+ min and are not bounded."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+        return
+    except Exception as e:
+        print(json.dumps({
+            "metric": "render_and_compare_iters_per_sec_per_chip",
+            "value": 0.0, "unit": "iters/sec",
+            "error": f"accelerator backend unavailable: {type(e).__name__}",
+        }))
+        raise SystemExit(1)
+
+
 def main():
     import sys
+    _devices_or_die()
     dense = "--dense" in sys.argv
     bs = 8
     if "--bs" in sys.argv:
