@@ -209,3 +209,40 @@ def test_stage1_masknormvf_all_heads_supervised():
         assert k in metrics, (k, sorted(metrics))
         assert np.isfinite(float(metrics[k])), k
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+@pytest.mark.parametrize("impl", ["direct", "pixel_split"])
+def test_stage2_step_on_mesh(impl):
+    """The stage-II self-sup step runs over the (data, fsdp) mesh for both
+    the single-program and the multi-program (side-program) LAB modes —
+    batch shardings are inferred from the committed arrays so the
+    replicated per-class mesh tables don't get forced onto the data axis
+    (the bug the round-3 dryrun extension caught)."""
+    import dataclasses
+    from self6dpp_tpu.config.base import SelfSupConfig
+    from self6dpp_tpu.data.meshes import make_cube
+    from self6dpp_tpu.engine import self_engine as se
+
+    cfg0 = tiny_cfg()
+    cfg = Config(
+        model=cfg0.model, solver=cfg0.solver,
+        dist=DistConfig(mesh_shape=(4, 2)),
+        self_sup=SelfSupConfig(enabled=True, mask_lw=1.0, ms_ssim_lw=1.0,
+                               lab_lw=0.2, lab_impl=impl,
+                               perceptual_lw=0.0, pseudo_pm_lw=10.0))
+    mesh = make_mesh(cfg.dist)
+    model = eng.build_gdrn(cfg)
+    batch = make_batch(cfg, b=8)
+    verts, faces = make_cube(size=0.15)
+    colors = (verts - verts.min(0)) / np.ptp(verts, 0)
+    batch["mesh_verts"] = jnp.asarray(verts)[None].repeat(2, 0)
+    batch["mesh_faces"] = jnp.asarray(faces)[None].repeat(2, 0)
+    batch["mesh_colors"] = jnp.asarray(colors)[None].repeat(2, 0)
+    batch["roi_zoom_K"] = se.roi_zoom_K(batch, cfg.model.input_res,
+                                        cfg.model.output_res)
+    state = eng.init_state(cfg, model, batch, mesh=mesh)
+    sharded = shard_batch(batch, mesh, cfg.dist)
+    step = se.jit_self_train_step(cfg, model, mesh=mesh)
+    state, metrics = step(state, None, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert "loss_color_ab_obj" in metrics
