@@ -362,3 +362,31 @@ def test_conv_head_on_fpn_level():
                                      name="ConvMaskXyzRegionHead",
                                      num_feat_layers=1, feat_dim=32))
     _run_gdrn(m)
+
+
+def test_pvnet_backbone_train_step():
+    """One supervised train step through the PVNet encoder-decoder backbone:
+    BN batch_stats mutate and the loss is finite."""
+    from self6dpp_tpu.config.base import SolverConfig
+    from self6dpp_tpu.engine import gdrn_engine as eng
+
+    cfg = tiny_cfg()
+    m = dataclasses.replace(
+        cfg.model,
+        backbone=BackboneConfig(name="pvnet_micro_8s"),
+        geo_head=dataclasses.replace(cfg.model.geo_head,
+                                     name="ConvMaskXyzRegionHead",
+                                     num_feat_layers=1, feat_dim=32))
+    cfg = Config(model=m, solver=SolverConfig(
+        optimizer="adam", base_lr=1e-4, total_iters=10, warmup_iters=0,
+        ims_per_batch=2, reference_bs=2))
+    model = GDRN(cfg=m)
+    batch = {k: jnp.asarray(v) for k, v in make_gdrn_batch(
+        cfg, 2, input_res=64, output_res=16, n_points=64).items()}
+    state = eng.init_state(cfg, model, batch)
+    step = eng.jit_train_step(cfg, model)
+    before = jax.tree.leaves(state.batch_stats)[0].copy()
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    after = jax.tree.leaves(state.batch_stats)[0]
+    assert float(jnp.abs(after - before).max()) > 0, "BN stats did not move"
