@@ -32,7 +32,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--impls", default=",".join(ALL_IMPLS))
+    ap.add_argument("--tiny", action="store_true",
+                    help="micro model on CPU — validates the tool, not perf")
     args = ap.parse_args()
+    if args.tiny:
+        os.environ.setdefault("S6TPU_PLATFORM", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -47,17 +51,19 @@ def main() -> None:
     from self6dpp_tpu.models.lpips import LPIPS
 
     bs = args.batch_size
-    base = _flagship_cfg()
-    base = dataclasses.replace(
-        base, renderer=RendererConfig(tile_px=32, faces_per_tile=128))
+    base = _flagship_cfg(tiny=args.tiny)
+    if not args.tiny:
+        base = dataclasses.replace(
+            base, renderer=RendererConfig(tile_px=32, faces_per_tile=128))
 
     def cfg_for(impl: str):
         ss = SelfSupConfig(
             enabled=True, mask_lw=1.0, ms_ssim_lw=1.0,
             lab_lw=0.0 if impl == "off" else 0.2,
             lab_impl=impl if impl != "off" else "direct",
-            depth_chamfer_lw=1.0, perceptual_lw=0.15, pseudo_pm_lw=10.0,
-            pseudo_trans_lw=1.0)
+            depth_chamfer_lw=1.0,
+            perceptual_lw=0.0 if args.tiny else 0.15,
+            pseudo_pm_lw=10.0, pseudo_trans_lw=1.0)
         return dataclasses.replace(base, self_sup=ss)
 
     cfg = cfg_for("direct")
@@ -76,9 +82,12 @@ def main() -> None:
         (bs, cfg.model.input_res, cfg.model.input_res)
     ) * batch["gt_trans"][:, 2, None, None]
     state0 = ge.init_state(cfg, model, batch)
-    lpips = LPIPS()
-    lp = jax.jit(lpips.init)(jax.random.PRNGKey(1), batch["roi_img"],
-                             batch["roi_img"])["params"]
+    if args.tiny:
+        lpips, lp = None, None
+    else:
+        lpips = LPIPS()
+        lp = jax.jit(lpips.init)(jax.random.PRNGKey(1), batch["roi_img"],
+                                 batch["roi_img"])["params"]
     rng = jax.random.PRNGKey(0)
 
     results: dict[str, float] = {}
@@ -105,7 +114,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "lab_impl_ms_per_step",
         "value": results,
-        "unit": f"ms/step (bs={bs} stage-II, flagship cfg)",
+        "unit": f"ms/step (bs={bs} stage-II, "
+                f"{'tiny' if args.tiny else 'flagship'} cfg)",
         "platform": jax.devices()[0].platform,
     }))
 
