@@ -18,15 +18,16 @@ echo "== stage-I GDRN train =="
 python tools/train_gdrn.py --config configs/gdrn/synthetic_smoke.py \
     --opts solver.total_iters=12 ckpt_period=12
 
-echo "== YOLOv4 detector train =="
+echo "== YOLOv4 detector train (mosaic/affine/HSV aug + in-train mAP) =="
 python tools/train_yolov4.py --config configs/gdrn/synthetic_smoke.py \
-    --input-size 128 \
-    --opts exp_name=yolo_synthetic_smoke solver.total_iters=6 ckpt_period=6
+    --opts exp_name=yolo_synthetic_smoke solver.total_iters=6 ckpt_period=6 \
+    det.input_size=128 det.aug_mosaic=true det.rand_rotate_deg=5 \
+    det.rand_translate=0.1 det.rand_shear=2 test.eval_period=6
 
-echo "== YOLOv4 detect (writes the det-json contract) =="
+echo "== YOLOv4 detect (COCO AP table + the det-json contract) =="
 python tools/train_yolov4.py --config configs/gdrn/synthetic_smoke.py \
-    --eval-only --input-size 128 --out-det "$OUT/yolo_dets.json" \
-    --opts exp_name=yolo_synthetic_smoke
+    --eval-only --out-det "$OUT/yolo_dets.json" \
+    --opts exp_name=yolo_synthetic_smoke det.input_size=128
 
 echo "== stage-I GDRN eval on YOLO detections (BOP csv + ADD tables) =="
 python tools/train_gdrn.py --config configs/gdrn/synthetic_smoke.py \

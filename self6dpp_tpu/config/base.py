@@ -359,9 +359,11 @@ class SelfSupConfig:
     #                 computation is ONE fused Pallas kernel, opaque to the
     #                 fusion pass; the gradient re-enters via the same
     #                 cotangent add as pixel_split (ops/lab_pallas.py).
-    #                 Single program, exact; TPU timing pending.
-    # Default is the fastest *end-to-end measured* mode; flip once a
-    # faster mode is measured end-to-end.
+    #                 Single program, exact — and the cliff escape that
+    #                 works: 6.65 ms/step vs direct's 39.6 on TPU v5e
+    #                 (bs=8 flagship stage-II, tools/bench_lab_impls.py).
+    # Default is the fastest *end-to-end measured* mode (BENCH_NOTES.md
+    # round-4 decision table).
     lab_impl: str = "direct"   # direct|surrogate|split_grad|pixel_split|pallas
     depth_chamfer_lw: float = 0.0
     chamfer_dist_thr: float = 0.05
@@ -408,6 +410,32 @@ class SelfSupConfig:
 
 
 @dataclass(frozen=True)
+class DetConfig:
+    """YOLOv4 detector: input size + train-time augmentation.
+
+    Parity: configs/_base_/yolov4_base.py:18-36 (aug knobs) and
+    det/yolov4/datasets/data_loader.py:58-120,230-330 (mosaic + affine +
+    HSV pipeline). Defaults follow the reference's yolov4_base values.
+    """
+    input_size: int = 640
+    width_multiple: float = 1.0
+    depth_multiple: float = 1.0
+    max_objs: int = 16              # padded targets per image (static shape)
+    # --- augmentation (train split only) ---
+    aug_mosaic: bool = False        # 4-image mosaic (AUG_MOSAIC)
+    aug_hsv_prob: float = 1.0       # AUG_HSV_PROB
+    hsv_h: float = 0.015            # HSV gains (fractions)
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    rand_rotate_deg: float = 0.0    # random_affine knobs
+    rand_translate: float = 0.0
+    rand_scale: float = 0.5
+    rand_shear: float = 0.0
+    rand_hflip: bool = True
+    rand_vflip: bool = False
+
+
+@dataclass(frozen=True)
 class DistConfig:
     # mesh axes; data-parallel is the reference-parity axis (SURVEY §2.7),
     # fsdp sharding of params is a new TPU capability
@@ -430,6 +458,7 @@ class Config:
     test: TestConfig = field(default_factory=TestConfig)
     renderer: RendererConfig = field(default_factory=RendererConfig)
     self_sup: SelfSupConfig = field(default_factory=SelfSupConfig)
+    det: DetConfig = field(default_factory=DetConfig)
     dist: DistConfig = field(default_factory=DistConfig)
     ckpt_period: int = 5000
     ckpt_max_to_keep: int = 2

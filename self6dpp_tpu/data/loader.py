@@ -210,6 +210,13 @@ class GDRNDataset:
             for ii in range(len(r.instances))
         ]
         self._coord2d_cache: dict[tuple, np.ndarray] = {}
+        # protocol-true VSD needs the OBSERVED full-frame depth for the
+        # visibility masks (the reference computes them from the real test
+        # depth image, lib/pysixd/visibility.py:34-37); emit it on eval
+        # batches whenever the config scores vsd. Host-side only — the eval
+        # CLIs keep it off the device (evaluator.HOST_ONLY_KEYS).
+        self.emit_full_depth = (not train) and (
+            "vsd" in getattr(cfg.test, "error_types", ()))
         self._render_fns: dict = {}
         # per-sample child rngs for thread-pooled workers (the shared
         # Generator is not thread-safe); spawned serially by make_samples
@@ -395,6 +402,11 @@ class GDRNDataset:
         }
         if roi_depth is not None:
             sample["roi_depth"] = roi_depth.astype(np.float32)
+        if self.emit_full_depth:
+            full = self._load_depth(rec)
+            sample["full_depth"] = (
+                np.zeros(img.shape[:2], np.float32) if full is None
+                else full.astype(np.float32))
         if inst.pose_est is not None:
             sample["pose_est_rot"] = inst.pose_est[:, :3].astype(np.float32)
             sample["pose_est_trans"] = inst.pose_est[:, 3].astype(np.float32)

@@ -26,6 +26,11 @@ from ..data.loader import ObjectModels
 from ..data.ref import DatasetMeta
 from ..ops import pose_errors as PE
 
+# batch keys the evaluator consumes on the host that must never ride the
+# jitted eval step (full frames would waste transfer bandwidth and retrace
+# the step): every to_device in the eval CLIs filters on this set too.
+HOST_ONLY_KEYS = ("_valid", "full_depth")
+
 Array = jax.Array
 
 
@@ -193,7 +198,8 @@ class PoseEvaluator:
             d_gt = rasterize_batch(vb, fb, ab, Kc, Rg, tg, height=H,
                                    width=W, with_prob=False).depth
             d_obs = jnp.asarray(np.stack([
-                p["depth_obs"] if p.get("depth_obs") is not None
+                _resize_depth_nearest(p["depth_obs"], H, W)
+                if p.get("depth_obs") is not None
                 else np.zeros((H, W), np.float32) for p in ch]))
             e = PE.vsd_error(d_est, d_gt, d_obs, taus=PE.BOP19_TH,
                              delta=delta, K=Kc, diameter=diam)
@@ -221,6 +227,18 @@ def table_to_markdown(tables: dict[str, dict[str, float]],
     return "\n".join(lines)
 
 
+def _resize_depth_nearest(d: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Nearest-neighbor depth resize (interpolating depth across object
+    boundaries would invent surfaces); used when _vsd_errors renders at
+    vsd_scale < 1 while the observed depth is full resolution."""
+    d = np.asarray(d, np.float32)
+    if d.shape == (H, W):
+        return d
+    ys = (np.arange(H) * d.shape[0] / H).astype(int)
+    xs = (np.arange(W) * d.shape[1] / W).astype(int)
+    return d[ys[:, None], xs[None, :]]
+
+
 def run_inference(eval_step: Callable, state, batches: Iterable[dict],
                   evaluator: PoseEvaluator, to_device=None) -> PoseEvaluator:
     """gdrn_inference_on_dataset parity: loop, time per batch, feed evaluator.
@@ -231,7 +249,8 @@ def run_inference(eval_step: Callable, state, batches: Iterable[dict],
     warmed = False
     for batch in batches:
         db = {k: jnp.asarray(v) for k, v in batch.items()
-              if k not in ("_valid",)} if to_device is None else to_device(batch)
+              if k not in HOST_ONLY_KEYS} if to_device is None \
+            else to_device(batch)
         if not warmed:
             jax.block_until_ready(eval_step(state, db))
             warmed = True

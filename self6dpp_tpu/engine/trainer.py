@@ -56,28 +56,50 @@ def do_train(
         storage.tb = tb            # vis_fn reaches the image writer here
     rng = jax.random.PRNGKey(cfg.seed)
 
+    # Metrics stay on-device between flushes so the dispatch pipeline never
+    # blocks on a per-step host sync (the reference asserts isfinite every
+    # iter, engine.py:404; here the guard runs on each flush — at most
+    # log_period steps after divergence, which the flush backdates to the
+    # offending iteration).
+    pending: list[tuple[int, dict]] = []
+    t_window = time.perf_counter()
+
+    def flush() -> None:
+        nonlocal t_window
+        if not pending:
+            return
+        host = jax.device_get([m for _, m in pending])
+        per_iter = (time.perf_counter() - t_window) / len(pending)
+        for (it1, _), m in zip(pending, host):
+            total = float(m["total_loss"])
+            if not np.isfinite(total):
+                logger.error(f"non-finite loss at iter {it1 - 1}: {m}")
+                raise FloatingPointError(f"loss diverged at iter {it1 - 1}")
+            storage.iter = it1
+            storage.put_scalars(time_per_iter=per_iter,
+                                **{k: float(v) for k, v in m.items()})
+            for w in writers:
+                w.write()
+        pending.clear()
+        t_window = time.perf_counter()
+
     for it in range(start_iter, cfg.solver.total_iters):
         batch = to_device(next(batches))
         rng, step_rng = jax.random.split(rng)
-        t0 = time.perf_counter()
         state, metrics = train_step(state, batch, step_rng)
-        total = float(metrics["total_loss"])
-        # finite-loss guard (reference engine.py:404 assert isfinite)
-        if not np.isfinite(total):
-            logger.error(f"non-finite loss at iter {it}: {metrics}")
-            raise FloatingPointError(f"loss diverged at iter {it}")
-        storage.iter = it + 1
-        storage.put_scalars(
-            time_per_iter=time.perf_counter() - t0,
-            **{k: float(v) for k, v in metrics.items()})
-        for w in writers:
-            w.write()
-        if vis_fn is not None and cfg.vis_period > 0 \
-                and (it + 1) % cfg.vis_period == 0:
+        pending.append((it + 1, metrics))
+        vis_due = (vis_fn is not None and cfg.vis_period > 0
+                   and (it + 1) % cfg.vis_period == 0)
+        eval_due = (eval_fn is not None and cfg.test.eval_period > 0
+                    and (it + 1) % cfg.test.eval_period == 0)
+        ckpt_due = cfg.ckpt_period > 0 and (it + 1) % cfg.ckpt_period == 0
+        if ((it + 1) % cfg.log_period == 0 or vis_due or eval_due or ckpt_due
+                or it + 1 == cfg.solver.total_iters):
+            flush()
+        if vis_due:
             vis_fn(state, batch, storage)
         ckpt.save(state, step=it + 1)
-        if (eval_fn is not None and cfg.test.eval_period > 0
-                and (it + 1) % cfg.test.eval_period == 0):
+        if eval_due:
             tables = eval_fn(state)
             avg = tables.get("avg", {})
             logger.info(f"eval @ {it + 1}: {avg or tables}")
@@ -91,6 +113,7 @@ def do_train(
                 from .evaluator import table_to_markdown
                 tb.add_text("eval/tables", table_to_markdown(tables), it + 1)
 
+    flush()
     ckpt.save(state, force=True)
     for w in writers:
         getattr(w, "close", lambda: None)()

@@ -310,6 +310,56 @@ class TestEvaluator:
         t2 = ev2.evaluate(bop19=True)
         assert t2["avg"]["bop19_ar"] < 50.0, t2["avg"]
 
+    def test_eval_batches_emit_full_depth(self, bop_root, models):
+        """error_types with vsd -> eval batches carry the full-frame
+        observed depth; train batches never do."""
+        cfg = tiny_cfg()
+        recs = load_bop_split(bop_root)
+        ds = GDRNDataset(cfg, recs, models, get_meta("lm"), train=False)
+        b = next(ds.batches(batch_size=4))
+        assert "full_depth" in b
+        assert b["full_depth"].shape[1:] == (120, 160)   # full frame, not ROI
+        assert (b["full_depth"] > 0).any()               # real synthetic depth
+        ds_tr = GDRNDataset(cfg, recs, models, get_meta("lm"), train=True)
+        assert "full_depth" not in next(ds_tr.batches(batch_size=2))
+        import dataclasses
+        cfg_novsd = dataclasses.replace(
+            cfg, test=dataclasses.replace(
+                cfg.test, error_types=("ad", "rete")))
+        ds_nv = GDRNDataset(cfg_novsd, recs, models, get_meta("lm"),
+                            train=False)
+        assert "full_depth" not in next(ds_nv.batches(batch_size=2))
+
+    def test_vsd_occlusion_visibility(self, bop_root, models):
+        """Protocol-true VSD: an occluder in the OBSERVED depth must change
+        ar_vsd (visibility masks, lib/pysixd/visibility.py:34-37) while
+        ar_mssd — a pure geometry metric — is unaffected."""
+        import dataclasses
+        cfg = tiny_cfg()
+        recs = load_bop_split(bop_root)
+        meta = dataclasses.replace(get_meta("lm"), width=160, height=120)
+        ds = GDRNDataset(cfg, recs, models, get_meta("lm"), train=False)
+        batches = list(ds.batches(batch_size=4))
+
+        def run(depth_of):
+            ev = PoseEvaluator(models, meta)
+            for b in batches:
+                b = dict(b)
+                b["full_depth"] = np.stack(
+                    [depth_of(d) for d in b["full_depth"]])
+                ev.process(b, {"rot": b["gt_rot"], "trans": b["gt_trans"]})
+            return ev.evaluate(bop19=True)["avg"]
+
+        # observed depth = the real synthetic scene depth: perfect
+        # predictions are fully consistent with it
+        t_clear = run(lambda d: d)
+        # an occluder plane at 10 cm hides every object (objects sit ~0.5 m):
+        # no pixel can be validated -> vsd error 1 for the same predictions
+        t_occl = run(lambda d: np.full_like(d, 0.1))
+        assert t_clear["ar_vsd"] == 100.0, t_clear
+        assert t_occl["ar_vsd"] == 0.0, t_occl
+        assert t_clear["ar_mssd"] == t_occl["ar_mssd"] == 100.0
+
     def test_noisy_predictions_partial_recall(self, bop_root, models):
         cfg = tiny_cfg()
         recs = load_bop_split(bop_root)

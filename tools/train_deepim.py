@@ -53,7 +53,9 @@ def main():
     rng_np = np.random.default_rng(cfg.seed)
 
     def to_device(batch):
-        db = {k: jnp.asarray(v) for k, v in batch.items() if k != "_valid"}
+        from self6dpp_tpu.engine.evaluator import HOST_ONLY_KEYS
+        db = {k: jnp.asarray(v) for k, v in batch.items()
+              if k not in HOST_ONLY_KEYS}
         db["verts"] = jnp.asarray(models.verts)[db["roi_cls"]]
         db["faces"] = jnp.asarray(models.faces)[db["roi_cls"]]
         db["colors"] = jnp.asarray(models.colors)[db["roi_cls"]]

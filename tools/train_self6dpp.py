@@ -59,7 +59,9 @@ def main():
     mesh = make_mesh(cfg.dist) if len(jax.devices()) > 1 else None
 
     def to_device(batch):
-        db = {k: jnp.asarray(v) for k, v in batch.items() if k != "_valid"}
+        from self6dpp_tpu.engine.evaluator import HOST_ONLY_KEYS
+        db = {k: jnp.asarray(v) for k, v in batch.items()
+              if k not in HOST_ONLY_KEYS}
         db["mesh_verts"] = jnp.asarray(models.verts)
         db["mesh_faces"] = jnp.asarray(models.faces)
         db["mesh_colors"] = jnp.asarray(models.colors)

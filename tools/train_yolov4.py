@@ -1,7 +1,14 @@
 """YOLOv4 detector train/test CLI (reference det/yolov4/main_yolov4.py).
 
-Test mode writes the detection json contract consumed by GDRN/self6dpp
-loaders (core/utils/dataset_utils.py:120): per scene_im_id a list of
+Train mode runs the full reference augmentation pipeline (mosaic / random
+affine / HSV / flips — det/yolov4/datasets/data_loader.py:58-120,230-330)
+via self6dpp_tpu.data.det_loader and, when test.eval_period > 0, computes
+COCO mAP on the test split in-train (ref det/yolov4/engine/engine.py:91-133).
+
+Test mode (--eval-only) computes the COCO AP table
+(engine/det_evaluator.py, ref yolov4_coco_evaluation.py) AND writes the
+detection json contract consumed by GDRN/self6dpp loaders
+(core/utils/dataset_utils.py:120): per scene_im_id a list of
 {obj_id, bbox_est [x,y,w,h], score, time}.
 """
 
@@ -15,7 +22,6 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -25,23 +31,54 @@ def parse_args():
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--out-det", default="", help="output detection json")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--input-size", type=int, default=640)
-    p.add_argument("--width", type=float, default=1.0)
-    p.add_argument("--depth", type=float, default=1.0)
+    p.add_argument("--eval-max-images", type=int, default=0,
+                   help="cap in-train eval set size (0 = all)")
     p.add_argument("--opts", nargs="*", default=[])
     from self6dpp_tpu.parallel.mesh import add_distributed_args
     add_distributed_args(p)
     return p.parse_args()
 
 
-def letterbox(img: np.ndarray, size: int) -> tuple[np.ndarray, float, tuple]:
-    import cv2
-    h, w = img.shape[:2]
-    r = size / max(h, w)
-    nh, nw = int(h * r), int(w * r)
-    out = np.zeros((size, size, 3), np.float32)
-    out[:nh, :nw] = cv2.resize(img, (nw, nh))
-    return out, r, (0, 0)
+def run_detector_eval(model, ycfg, state, dataset, bs, class_to_obj_id,
+                      max_images=0):
+    """Inference + NMS over the eval split; returns (AP table, det json
+    rows, per-image seconds). Detections are mapped back to the original
+    frame before scoring (EvalShapes.to_original)."""
+    from self6dpp_tpu.engine.det_evaluator import DetEvaluator
+    from self6dpp_tpu.models.yolo import decode_predictions, non_max_suppression
+
+    @jax.jit
+    def infer(state, x):
+        outs = model.apply({"params": state.params,
+                            "batch_stats": state.batch_stats}, x)
+        return decode_predictions(outs, ycfg)
+
+    evaluator = DetEvaluator(num_classes=ycfg.num_classes)
+    dets: dict[str, list] = {}
+    n_done = 0
+    for imgs, shapes, gts, recs in dataset.eval_batches(bs):
+        t0 = time.perf_counter()
+        pred = np.asarray(infer(state, imgs))
+        dt = (time.perf_counter() - t0) / len(recs)
+        nms = non_max_suppression(pred, ycfg.conf_thresh, ycfg.iou_thresh)
+        for d, sh, gt, rec in zip(nms, shapes, gts, recs):
+            d = np.asarray(d, np.float32).reshape(-1, 6)
+            boxes = sh.to_original(d[:, :4])
+            evaluator.add_image(
+                rec.scene_im_id, boxes, d[:, 5], d[:, 4],
+                gt[:, 1:5], gt[:, 0])
+            rows = []
+            for (x1, y1, x2, y2), (score, cls) in zip(boxes, d[:, 4:6]):
+                rows.append({
+                    "obj_id": class_to_obj_id(int(cls)),
+                    "bbox_est": [float(x1), float(y1),
+                                 float(x2 - x1), float(y2 - y1)],
+                    "score": float(score), "time": dt})
+            dets[rec.scene_im_id] = rows
+            n_done += 1
+        if max_images and n_done >= max_images:
+            break
+    return evaluator.evaluate(), dets, dt
 
 
 def main():
@@ -51,49 +88,34 @@ def main():
     maybe_init_distributed_from_args(args)
     from self6dpp_tpu.config.base import apply_overrides, load_config
     from self6dpp_tpu.data.bop import load_bop_split, save_detections
+    from self6dpp_tpu.data.det_loader import DetDataset
     from self6dpp_tpu.data.ref import get_meta
     from self6dpp_tpu.engine.checkpoint import CheckpointManager
     from self6dpp_tpu.engine.optim import build_optimizer
     from self6dpp_tpu.engine.train_state import create_train_state
     from self6dpp_tpu.engine.trainer import do_train
     from self6dpp_tpu.engine.writers import setup_logger
-    from self6dpp_tpu.models.yolo import (YOLOv4, YoloConfig,
-                                          decode_predictions,
-                                          non_max_suppression, yolo_loss)
+    from self6dpp_tpu.models.yolo import YOLOv4, YoloConfig, yolo_loss
 
     cfg = apply_overrides(load_config(args.config), args.opts)
     logger = setup_logger(os.path.join(cfg.output_dir, cfg.exp_name))
     meta = get_meta(cfg.data.test_datasets[0])
     ycfg = YoloConfig(num_classes=meta.num_objects,
-                      input_size=args.input_size,
-                      width_multiple=args.width, depth_multiple=args.depth)
+                      input_size=cfg.det.input_size,
+                      width_multiple=cfg.det.width_multiple,
+                      depth_multiple=cfg.det.depth_multiple)
     model = YOLOv4(cfg=ycfg)
 
-    import cv2
-    split = "test" if args.eval_only else "train"
-    split_dir = os.path.join(cfg.data.dataset_root, meta.name, split)
-    records = load_bop_split(split_dir)
+    def class_of_obj_id(oid: int) -> int:
+        return meta.objects.index(meta.id2obj[oid])
 
-    max_objs = 16
+    def class_to_obj_id(cls: int) -> int:
+        return meta.obj2id[meta.objects[cls]]
 
-    def make_batch(recs):
-        imgs, targets, tvalid = [], [], []
-        for r in recs:
-            img = cv2.imread(r.file_name)[..., ::-1].astype(np.float32) / 255.0
-            lb, ratio, _ = letterbox(img, ycfg.input_size)
-            imgs.append(lb)
-            tg = np.zeros((max_objs, 5), np.float32)
-            tv = np.zeros((max_objs,), bool)
-            for i, inst in enumerate(r.instances[:max_objs]):
-                b = inst.bbox_visib * ratio
-                cls = meta.objects.index(meta.id2obj[inst.obj_id])
-                tg[i] = [cls, (b[0] + b[2]) / 2, (b[1] + b[3]) / 2,
-                         b[2] - b[0], b[3] - b[1]]
-                tv[i] = True
-            targets.append(tg)
-            tvalid.append(tv)
-        return (jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(targets)),
-                jnp.asarray(np.stack(tvalid)))
+    test_dir = os.path.join(cfg.data.dataset_root, meta.name, "test")
+    test_records = load_bop_split(test_dir)
+    test_set = DetDataset(test_records, cfg.det, class_of_obj_id,
+                          train=False)
 
     from self6dpp_tpu.parallel.mesh import (make_mesh, shard_batch,
                                             shard_state, step_shardings)
@@ -103,7 +125,7 @@ def main():
     if mesh is not None:
         data_par = mesh.shape[cfg.dist.data_axis]
         bs = max(bs // data_par, 1) * data_par    # divisible batch
-    x0, t0_, v0 = make_batch(records[:bs])
+    x0 = np.zeros((bs, ycfg.input_size, ycfg.input_size, 3), np.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(cfg.seed), x0)
     tx, _ = build_optimizer(cfg.solver,
@@ -117,39 +139,21 @@ def main():
     if args.eval_only:
         ckpt = CheckpointManager(f"{cfg.output_dir}/{cfg.exp_name}/ckpt")
         state, _ = ckpt.resume_or_load(state, resume=True)
-
-        @jax.jit
-        def infer(state, x):
-            outs = model.apply({"params": state.params,
-                                "batch_stats": state.batch_stats}, x)
-            return decode_predictions(outs, ycfg)
-
-        dets = {}
-        for i in range(0, len(records), bs):
-            recs = records[i : i + bs]
-            x, _, _ = make_batch(recs)
-            t0 = time.perf_counter()
-            pred = np.asarray(infer(state, x))
-            dt = (time.perf_counter() - t0) / len(recs)
-            nms = non_max_suppression(pred, ycfg.conf_thresh, ycfg.iou_thresh)
-            for r, d in zip(recs, nms):
-                img = cv2.imread(r.file_name)
-                ratio = ycfg.input_size / max(img.shape[:2])
-                rows = []
-                for x1, y1, x2, y2, score, cls in d:
-                    x1, y1, x2, y2 = [v / ratio for v in (x1, y1, x2, y2)]
-                    rows.append({
-                        "obj_id": meta.obj2id[meta.objects[int(cls)]],
-                        "bbox_est": [float(x1), float(y1),
-                                     float(x2 - x1), float(y2 - y1)],
-                        "score": float(score), "time": dt})
-                dets[r.scene_im_id] = rows
+        ap, dets, _ = run_detector_eval(model, ycfg, state, test_set, bs,
+                                        class_to_obj_id)
+        logger.info("COCO AP: " + "  ".join(
+            f"{k}={v * 100:.2f}" for k, v in ap.items()))
         out_path = args.out_det or \
             f"{cfg.output_dir}/{cfg.exp_name}/detections.json"
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         save_detections(out_path, dets)
         logger.info(f"wrote {out_path}")
         return
+
+    train_dir = os.path.join(cfg.data.dataset_root, meta.name, "train")
+    train_records = load_bop_split(train_dir)
+    train_set = DetDataset(train_records, cfg.det, class_of_obj_id,
+                           train=True, seed=cfg.seed)
 
     def train_step(state, batch, rng):
         x, tg, tv = batch
@@ -166,14 +170,6 @@ def main():
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         return state, {"total_loss": total, **ld}
 
-    rng_np = np.random.default_rng(cfg.seed)
-
-    def batches():
-        while True:
-            order = rng_np.permutation(len(records))
-            for i in range(0, len(records) - bs + 1, bs):
-                yield make_batch([records[j] for j in order[i : i + bs]])
-
     if mesh is None:
         step = jax.jit(train_step, donate_argnums=(0,))
         to_device = lambda b: b
@@ -182,7 +178,15 @@ def main():
         step = jax.jit(train_step, in_shardings=(st, (data, data, data), repl),
                        donate_argnums=(0,))
         to_device = lambda b: tuple(jax.device_put(a, data) for a in b)
-    do_train(cfg, state, step, batches(), to_device, resume=args.resume)
+
+    def eval_fn(state):
+        ap, _, _ = run_detector_eval(model, ycfg, state, test_set, bs,
+                                     class_to_obj_id,
+                                     max_images=args.eval_max_images)
+        return {"avg": ap}
+
+    do_train(cfg, state, step, train_set.train_batches(bs), to_device,
+             eval_fn=eval_fn, resume=args.resume)
 
 
 if __name__ == "__main__":
