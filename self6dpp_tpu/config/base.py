@@ -364,7 +364,7 @@ class SelfSupConfig:
     #                 (bs=8 flagship stage-II, tools/bench_lab_impls.py).
     # Default is the fastest *end-to-end measured* mode (BENCH_NOTES.md
     # round-4 decision table).
-    lab_impl: str = "direct"   # direct|surrogate|split_grad|pixel_split|pallas
+    lab_impl: str = "pallas"   # direct|surrogate|split_grad|pixel_split|pallas
     depth_chamfer_lw: float = 0.0
     chamfer_dist_thr: float = 0.05
     chamfer_center_lw: float = 0.0

@@ -55,15 +55,21 @@ def _dlin(c):
                      1.0 / 12.92)
 
 
+def _cbrt_pos(c):
+    # cube root of a positive input; jnp.cbrt has no Pallas TPU (Mosaic)
+    # lowering, exp/log do — inputs here are always >= _EPS
+    return jnp.exp(jnp.log(c) * (1.0 / 3.0))
+
+
 def _f(c):
-    return jnp.where(c > _FT, jnp.cbrt(jnp.maximum(c, _EPS)),
+    return jnp.where(c > _FT, _cbrt_pos(jnp.maximum(c, _EPS)),
                      7.787 * c + 16.0 / 116.0)
 
 
 def _df(c):
     # d cbrt(max(c, eps))/dc = 1/(3 cbrt(c)^2) for c > eps, 0 below
     # (mirrors jax autodiff of the clamped form in ops/color.py)
-    cb = jnp.cbrt(jnp.maximum(c, _EPS))
+    cb = _cbrt_pos(jnp.maximum(c, _EPS))
     dcbrt = jnp.where(c > _EPS, 1.0 / (3.0 * cb * cb), 0.0)
     return jnp.where(c > _FT, dcbrt, 7.787)
 
@@ -117,13 +123,15 @@ def _kernel(no_l: bool,
     og_ref[...] = dm_g
     ob_ref[...] = dm_b
 
+    # scalar accumulators live in SMEM — Mosaic cannot store scalars to
+    # VMEM refs (the grid is sequential on TPU, so += is race-free)
     @pl.when(i == 0)
     def _init():
-        val_ref[0, 0] = 0.0
-        msum_ref[0, 0] = 0.0
+        val_ref[0] = 0.0
+        msum_ref[0] = 0.0
 
-    val_ref[0, 0] += jnp.sum(diff * m)
-    msum_ref[0, 0] += jnp.sum(m)
+    val_ref[0] += jnp.sum(diff * m)
+    msum_ref[0] += jnp.sum(m)
 
 
 def lab_value_grad_pallas(pred_rgb: Array, gt_rgb: Array, mask: Array,
@@ -154,23 +162,24 @@ def lab_value_grad_pallas(pred_rgb: Array, gt_rgb: Array, mask: Array,
     chunk = min(n, 8192)
     while n % chunk:
         chunk //= 2    # n = S*S; terminates (chunk=1 divides anything)
+    from jax.experimental.pallas import tpu as pltpu
     bs = pl.BlockSpec((B, chunk), lambda i: (0, i))
-    sc = pl.BlockSpec((1, 1), lambda i: (0, 0))
+    sc = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
     val_raw, msum, gr, gg, gb = pl.pallas_call(
         functools.partial(_kernel, no_l),
         grid=(n // chunk,),
         in_specs=[bs] * 6 + [bs],
         out_specs=[sc, sc, bs, bs, bs],
-        out_shape=[jax.ShapeDtypeStruct((1, 1), f32),
-                   jax.ShapeDtypeStruct((1, 1), f32),
+        out_shape=[jax.ShapeDtypeStruct((1,), f32),
+                   jax.ShapeDtypeStruct((1,), f32),
                    jax.ShapeDtypeStruct((B, n), f32),
                    jax.ShapeDtypeStruct((B, n), f32),
                    jax.ShapeDtypeStruct((B, n), f32)],
         interpret=interpret,
     )(*chans, *gchans, m.reshape(B, n))
     n_ch = 2 if no_l else 3
-    norm = 1.0 / (jnp.maximum(msum[0, 0], 1.0) * n_ch)
-    val = val_raw[0, 0] * norm
+    norm = 1.0 / (jnp.maximum(msum[0], 1.0) * n_ch)
+    val = val_raw[0] * norm
     g = jnp.stack([gr, gg, gb], axis=-1).reshape(B, S, S, 3) * norm
     return val, g

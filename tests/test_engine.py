@@ -211,7 +211,7 @@ def test_stage1_masknormvf_all_heads_supervised():
     assert np.isfinite(float(metrics["total_loss"]))
 
 
-@pytest.mark.parametrize("impl", ["direct", "pixel_split"])
+@pytest.mark.parametrize("impl", ["direct", "pixel_split", "pallas"])
 def test_stage2_step_on_mesh(impl):
     """The stage-II self-sup step runs over the (data, fsdp) mesh for both
     the single-program and the multi-program (side-program) LAB modes —

@@ -95,16 +95,22 @@ def main() -> None:
         impl = impl.strip()
         if impl not in ALL_IMPLS:
             raise SystemExit(f"unknown impl {impl!r}; pick from {ALL_IMPLS}")
-        step = se.jit_self_train_step(cfg_for(impl), model, lpips)
-        st = jax.tree.map(jnp.copy, state0)
-        t0 = time.perf_counter()
-        st, m = step(st, lp, batch, rng)
-        jax.block_until_ready(m["total_loss"])
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
+        try:
+            step = se.jit_self_train_step(cfg_for(impl), model, lpips)
+            st = jax.tree.map(jnp.copy, state0)
+            t0 = time.perf_counter()
             st, m = step(st, lp, batch, rng)
-        jax.block_until_ready(m["total_loss"])
+            jax.block_until_ready(m["total_loss"])
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                st, m = step(st, lp, batch, rng)
+            jax.block_until_ready(m["total_loss"])
+        except Exception as e:  # one broken mode must not kill the table
+            print(f"# {impl}: FAILED — {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:200]}", flush=True)
+            results[impl] = None    # json-safe failure marker
+            continue
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         results[impl] = round(ms, 2)
         print(f"# {impl}: {ms:.2f} ms/step  (+compile {compile_s:.0f}s, "
