@@ -158,8 +158,10 @@ def lab_value_grad_pallas(pred_rgb: Array, gt_rgb: Array, mask: Array,
     gchans = [gt[..., k].reshape(B, n) for k in range(3)]
     # blocks span the full batch in the sublanes (B rows) and a lane chunk
     # of pixels; grid walks the pixel axis. ~10 live blocks x B x CHUNK x 4B
-    # stays well under VMEM while using all 8 sublanes.
-    chunk = min(n, 8192)
+    # (double-buffered) must stay inside the ~19 MB scoped-VMEM budget, so
+    # the chunk shrinks as the batch grows (B=8 -> 8192, B=16 -> 4096;
+    # bs=16 OOMed the fixed 8192 at 26 MB on v5e).
+    chunk = min(n, max(512, 65536 // max(B, 1)))
     while n % chunk:
         chunk //= 2    # n = S*S; terminates (chunk=1 divides anything)
     from jax.experimental.pallas import tpu as pltpu
