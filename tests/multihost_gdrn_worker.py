@@ -3,8 +3,8 @@ processes (test_multihost.py::test_two_process_gdrn_train).
 
 Run as: python multihost_gdrn_worker.py <rank> <port> <nprocs> <ckpt_dir>
 
-nprocs=2: each process exposes 4 virtual CPU devices; jax.distributed forms
-the 2x4=8-device global mesh (the reference's d2 launch role,
+nprocs=2: each process exposes 2 virtual CPU devices; jax.distributed forms
+the 2x2=4-device global mesh (the reference's d2 launch role,
 core/utils/my_comm.py:198-230). Each process draws DISTINCT record indices
 from the shared-seed sampler via its process shard
 (data/samplers.py::process_shard — the reference's
@@ -14,7 +14,7 @@ global array (jax.make_array_from_process_local_data). The fsdp=2 mesh axis
 shards the params, the state is orbax-saved from its SHARDED layout and
 restored into a fresh sharded template.
 
-nprocs=1: the parity oracle — one process, 8 virtual devices, same mesh,
+nprocs=1: the parity oracle — one process, 4 virtual devices, same mesh,
 same records (both emulated process shards concatenated in rank order =
 exactly the global array the 2-process run assembles). The test asserts the
 printed per-step losses match across the two runs, proving the multi-host
@@ -31,7 +31,10 @@ nprocs = int(sys.argv[3])
 ckpt_dir = sys.argv[4]
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-local_devices = 8 if nprocs == 1 else 4
+# 2x2=4 global devices (not 8): CPU-SPMD partitioning dominates compile time
+# on the 1-core test rig, and 4 partitions already exercise a real
+# data x fsdp mesh split across 2 processes
+local_devices = 4 if nprocs == 1 else 2
 os.environ["XLA_FLAGS"] = (
     f"--xla_force_host_platform_device_count={local_devices}")
 
@@ -40,6 +43,24 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Shared persistent compile cache: the oracle and both ranks (and repeated
+# CI runs) compile the same programs — only the first payer is slow.
+_cache = os.environ.get("S6TPU_MH_CACHE", "/tmp/s6tpu_mh_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# init_distributed must run before ANY JAX call that initialises the XLA
+# backend. The engine import chain (self6dpp_tpu.ops) touches the backend at
+# import time, so pull in ONLY the import-light mesh module first, bring up
+# jax.distributed, and import the rest afterwards.
+from self6dpp_tpu.parallel.mesh import (init_distributed, make_mesh,  # noqa: E402
+                                        shard_batch, shard_state)
+
+if nprocs > 1:
+    init_distributed(f"localhost:{port}", num_processes=nprocs,
+                     process_id=rank)
+    assert jax.process_count() == nprocs
+assert len(jax.devices()) == 4, jax.devices()
 
 import numpy as np  # noqa: E402
 
@@ -48,20 +69,12 @@ from self6dpp_tpu.data.samplers import process_shard, training_sampler  # noqa: 
 from self6dpp_tpu.data.synthetic import make_gdrn_batch  # noqa: E402
 from self6dpp_tpu.engine import gdrn_engine as eng  # noqa: E402
 from self6dpp_tpu.engine.checkpoint import CheckpointManager  # noqa: E402
-from self6dpp_tpu.parallel.mesh import (init_distributed, make_mesh,  # noqa: E402
-                                        shard_batch, shard_state)
-
-if nprocs > 1:
-    init_distributed(f"localhost:{port}", num_processes=nprocs,
-                     process_id=rank)
-    assert jax.process_count() == nprocs
-assert len(jax.devices()) == 8, jax.devices()
 
 from __graft_entry__ import _flagship_cfg  # noqa: E402
 
 cfg0 = _flagship_cfg(tiny=True)
 cfg = Config(model=cfg0.model, solver=cfg0.solver,
-             dist=DistConfig(mesh_shape=(4, 2)))
+             dist=DistConfig(mesh_shape=(2, 2)))
 mesh = make_mesh(cfg.dist)
 
 # ---- per-process data feeding through the sampler's process shard --------
@@ -90,6 +103,20 @@ assert not set(my_idx) & set(other), (my_idx, other)  # distinct records
 local = take(my_idx)
 db = shard_batch(local, mesh, cfg.dist)
 assert db["roi_img"].shape[0] == GLOBAL_BS, db["roi_img"].shape
+
+# Per-row evidence of the global assembly ORDER (ADVICE r4: total_loss is a
+# permutation-invariant mean, so loss parity alone cannot catch shard_batch
+# placing rows out of order). Each process prints the checksum of every
+# global row it holds an addressable shard of; the test asserts the union
+# across ranks equals the oracle's row->checksum map exactly, index by index.
+_rows = {}
+for _shard in db["roi_img"].addressable_shards:
+    _start = _shard.index[0].start or 0
+    _data = np.asarray(_shard.data)
+    for _i in range(_data.shape[0]):
+        _rows[_start + _i] = float(_data[_i].astype(np.float64).sum())
+print(f"RANK{rank} ROWS "
+      + " ".join(f"{i}={_rows[i]:.6f}" for i in sorted(_rows)), flush=True)
 
 # ---- sharded model state (fsdp axis is real) ------------------------------
 model = eng.build_gdrn(cfg)

@@ -50,8 +50,9 @@ def pieces(tmp_path_factory):
     return cfg, records, models, get_meta("lm")
 
 
-IO_WAIT_S = 0.010
-BS, N_BATCHES = 8, 5
+IO_WAIT_S = 0.025          # dominant vs the ~ms compute stages (ADVICE r4:
+BS, N_BATCHES = 8, 5       # keep the injected wait large so a loaded host
+                           # cannot flip the scaling assertion)
 
 
 def _throughput(cfg, records, models, meta, workers: int) -> float:
@@ -76,10 +77,14 @@ def test_workers_overlap_io_wait(pieces, monkeypatch):
         return orig(self, ri, ii, rng=rng)
 
     monkeypatch.setattr(GDRNDataset, "_sample_host", slow)
-    serial = _throughput(cfg, records, models, meta, workers=0)
-    pooled = _throughput(cfg, records, models, meta, workers=4)
-    # serial pays BS*IO_WAIT per batch (~80ms) fully; 4 workers must hide
-    # >= half of it even with every compute stage contending for the 1 core
+    # serial pays BS*IO_WAIT per batch (~200ms) fully; 4 workers must hide
+    # >= half of it even with every compute stage contending for the 1 core.
+    # One retry absorbs wall-clock noise on a loaded host (ADVICE r4).
+    for attempt in range(2):
+        serial = _throughput(cfg, records, models, meta, workers=0)
+        pooled = _throughput(cfg, records, models, meta, workers=4)
+        if pooled > 1.8 * serial:
+            return
     assert pooled > 1.8 * serial, (serial, pooled)
 
 

@@ -4,8 +4,8 @@ VERDICT r2 missing #3: the reference trains multi-machine via d2
 launch/init_dist (core/utils/my_comm.py:198-230); the TPU-native equivalent
 is jax.distributed.initialize + per-process data feeding
 (jax.make_array_from_process_local_data in parallel.mesh.shard_batch).
-This test launches two actual OS processes, each with 4 virtual CPU
-devices, forming a 2x4=8-device global mesh with a coordinator on
+This test launches two actual OS processes, each exposing virtual CPU
+devices, forming a multi-process global mesh with a coordinator on
 localhost — and asserts both computed the same global loss from
 process-local batch halves.
 """
@@ -36,6 +36,15 @@ def _parse_losses(out: str, rank: int) -> list[float]:
     raise AssertionError(f"no RANK{rank} result line in:\n{out}")
 
 
+def _parse_rows(out: str, rank: int) -> dict[int, float]:
+    """global-row-index -> checksum map printed by the worker's ROWS line."""
+    for line in out.splitlines():
+        if line.startswith(f"RANK{rank} ROWS "):
+            return {int(tok.split("=")[0]): float(tok.split("=")[1])
+                    for tok in line.split()[2:]}
+    raise AssertionError(f"no RANK{rank} ROWS line in:\n{out}")
+
+
 def test_two_process_gdrn_train(tmp_path):
     """VERDICT r3 #5: the PRODUCTION path across 2 processes — real tiny-GDRN
     jit_train_step over a (4,2) data×fsdp mesh, each process feeding distinct
@@ -59,7 +68,9 @@ def test_two_process_gdrn_train(tmp_path):
         outs = []
         try:
             for p in procs:
-                out, _ = p.communicate(timeout=420)
+                # cold-compile-cache 2-process run on a 1-core host needs
+                # ~2x the oracle's ~150s; warm runs finish in well under 120s
+                out, _ = p.communicate(timeout=600)
                 outs.append(out.decode())
         finally:
             for p in procs:
@@ -69,11 +80,22 @@ def test_two_process_gdrn_train(tmp_path):
             assert p.returncode == 0, f"nprocs={nprocs} rank {r} failed:\n{out}"
         return outs
 
-    oracle = _parse_losses(run(1, str(tmp_path / "ck1"))[0], 0)
+    oracle_out = run(1, str(tmp_path / "ck1"))[0]
+    oracle = _parse_losses(oracle_out, 0)
     outs = run(2, str(tmp_path / "ck2"))
     r0 = _parse_losses(outs[0], 0)
     r1 = _parse_losses(outs[1], 1)
     assert r0 == pytest.approx(r1, rel=1e-6), (r0, r1)   # replicated metrics
+    # assembly ORDER, not just permutation-invariant means (ADVICE r4): every
+    # global row the 2-process run assembled sits at the same index with the
+    # same checksum as the oracle's single-process global batch
+    oracle_rows = _parse_rows(oracle_out, 0)
+    two_proc_rows = {**_parse_rows(outs[0], 0), **_parse_rows(outs[1], 1)}
+    assert sorted(oracle_rows) == list(range(8))
+    assert sorted(two_proc_rows) == sorted(oracle_rows)
+    for i, v in oracle_rows.items():
+        assert two_proc_rows[i] == pytest.approx(v, rel=1e-6), (
+            i, two_proc_rows[i], v)
     # 2-process collectives (gloo) vs single-controller: same math, different
     # reduction order -> tight-but-not-bitwise parity
     assert r0 == pytest.approx(oracle, rel=2e-4), (r0, oracle)
