@@ -33,9 +33,11 @@ def _flagship_cfg():
     return f()
 
 
-def bench_render_and_compare(batch_size: int = 8, iters: int = 50,
-                             dense: bool = False) -> dict:
-    """Full Stage-II self-supervised step on one chip.
+def build_stage2(batch_size: int = 8, dense: bool = False):
+    """Construct the headline stage-II configuration once: returns
+    (cfg, model, state, lpips_params, jitted_step, device_batch). Shared by
+    the bench below and tools/probes/* so every probe measures the exact
+    configuration the driver benches.
 
     dense=True swaps in a 5120-face mesh with the denser-mesh kernel budget
     (tile 16px / K=256) — the decimated-real-LM-scale configuration from
@@ -87,6 +89,13 @@ def bench_render_and_compare(batch_size: int = 8, iters: int = 50,
     lp = jax.jit(lpips.init)(jax.random.PRNGKey(1), batch["roi_img"],
                              batch["roi_img"])["params"]
     step = se.jit_self_train_step(cfg, model, lpips)
+    return cfg, model, state, lp, step, batch
+
+
+def bench_render_and_compare(batch_size: int = 8, iters: int = 50,
+                             dense: bool = False) -> float:
+    """Full Stage-II self-supervised step on one chip (see build_stage2)."""
+    cfg, model, state, lp, step, batch = build_stage2(batch_size, dense)
     rng = jax.random.PRNGKey(0)
 
     state, metrics = step(state, lp, batch, rng)          # compile

@@ -34,7 +34,10 @@ class CheckpointManager:
     def save(self, state: TrainState, step: int | None = None,
              force: bool = False) -> bool:
         step = int(state.step) if step is None else step
-        if not force and self.save_period > 0 and step % self.save_period != 0:
+        # save_period <= 0 disables periodic saves (only force=True writes);
+        # mirrors cfg.ckpt_period=0 semantics in engine/trainer.py
+        if not force and (self.save_period <= 0
+                          or step % self.save_period != 0):
             return False
         payload = {
             "params": state.params,

@@ -76,6 +76,17 @@ class TestCheckpoint:
         # optimizer state restored too
         assert int(restored.step) == 1
 
+    def test_period_zero_saves_only_forced(self, tmp_path):
+        # save_period<=0 = disabled: do_train calls mgr.save every iter and
+        # relies on the manager to gate; only force=True may write.
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), save_period=0)
+        state = _mini_state()
+        assert not mgr.save(state, step=1)
+        assert not mgr.save(state, step=5000)
+        assert mgr.latest_step() is None
+        assert mgr.save(state, step=7, force=True)
+        assert mgr.latest_step() == 7
+
     def test_no_resume_returns_fresh(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path / "empty"))
         state, start = mgr.resume_or_load(_mini_state(), resume=True)
